@@ -1,0 +1,77 @@
+"""Effective sample size (ESS) and potential scale reduction (R-hat).
+
+No reference counterpart (the reference monitors only raw HMC acceptance,
+SURVEY.md §4); these are the standard multi-chain diagnostics (Vehtari et al.
+2021 / Stan) needed for the BASELINE ESS/s benchmark. FFT autocovariance +
+Geyer initial-monotone-sequence truncation, fully jittable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _autocovariance_fft(x):
+    """Per-chain autocovariance via FFT. x: (draws, chains) -> (draws, chains)."""
+    n = x.shape[0]
+    x = x - jnp.mean(x, axis=0, keepdims=True)
+    m = 2 * n  # zero-padding (next pow2 not required for correctness)
+    f = jnp.fft.rfft(x, n=m, axis=0)
+    acov = jnp.fft.irfft(f * jnp.conj(f), n=m, axis=0)[:n]
+    return acov / n
+
+
+def effective_sample_size(x):
+    """ESS of (draws, chains) scalar chains (one parameter).
+
+    Uses the rank-normalized-free classic estimator: pooled autocorrelation
+    rho_t = 1 - (W - mean_chain_acov_t) / var_plus, summed over Geyer initial
+    positive pairs.
+    """
+    n, m = x.shape
+    acov = _autocovariance_fft(x)              # (n, m)
+    chain_var = acov[0] * n / (n - 1.0)        # (m,)
+    w = jnp.mean(chain_var)
+    mean_acov = jnp.mean(acov, axis=1)         # (n,)
+    if m > 1:
+        b_over_n = jnp.var(jnp.mean(x, axis=0), ddof=1)
+        var_plus = w * (n - 1.0) / n + b_over_n
+    else:
+        var_plus = w * (n - 1.0) / n
+    rho = 1.0 - (w - mean_acov) / var_plus     # (n,)
+
+    # Geyer: sum consecutive pairs while positive (monotone estimator).
+    n_pairs = n // 2
+    pairs = rho[: 2 * n_pairs].reshape(n_pairs, 2).sum(axis=1)
+    pairs_min = jax.lax.associative_scan(jnp.minimum, pairs)  # monotone
+    positive = pairs_min > 0.0
+    tau = -1.0 + 2.0 * jnp.sum(jnp.where(positive, pairs_min, 0.0))
+    tau = jnp.maximum(tau, 1e-8)
+    return jnp.minimum(n * m / tau, n * m * 1.0)
+
+
+def ess_per_dim(samples):
+    """samples: (draws, chains, dim) -> (dim,) ESS per coordinate."""
+    return jax.vmap(lambda d: effective_sample_size(samples[:, :, d]))(
+        jnp.arange(samples.shape[-1])
+    )
+
+
+def min_ess(samples):
+    return jnp.min(ess_per_dim(samples))
+
+
+def potential_scale_reduction(samples):
+    """Split R-hat per dimension. samples: (draws, chains, dim) -> (dim,)."""
+    n, m, dim = samples.shape
+    half = n // 2
+    x = jnp.concatenate(
+        [samples[:half], samples[half : 2 * half]], axis=1
+    )  # (half, 2m, dim)
+    chain_mean = jnp.mean(x, axis=0)
+    chain_var = jnp.var(x, axis=0, ddof=1)
+    w = jnp.mean(chain_var, axis=0)
+    b = half * jnp.var(chain_mean, axis=0, ddof=1)
+    var_plus = (half - 1.0) / half * w + b / half
+    return jnp.sqrt(var_plus / w)

@@ -1,0 +1,252 @@
+"""Jit-compiled Hamiltonian Monte Carlo over vmapped chains.
+
+TPU-native rebuild of the reference's HMC driver (/root/reference/nf/hmc.py:
+8-65 + applications/src/dynamics.py). The reference round-trips through a C++
+LAMMPS process for every leapfrog segment (set_velocity -> lmp.run N ->
+readback, systems.py:82-103) and Metropolis-corrects in Python with an
+overflow-prone `math.exp(beta*dU)` (nf/hmc.py:56). Here the whole chain --
+momentum refresh, leapfrog with `jax.value_and_grad` of the target, and the
+correction -- is ONE fused XLA program:
+
+  * chains are a leading axis handled by `vmap` (and sharded over the mesh by
+    parallel/mesh.py for multi-chip);
+  * leapfrog is a `lax.scan` of fused gradient+update steps; the target's
+    log-prob gradient is the only physics call, replacing the external MD
+    engine (SURVEY.md §2.4);
+  * acceptance uses log-space `min(0, dH)` -- overflow-safe (fixes
+    nf/hmc.py:56);
+  * a diagonal mass matrix M plays the role of the reference's per-particle
+    masses (nf/hmc.py:24-27): momenta ~ N(0, M), kinetic energy p^T M^-1 p/2.
+
+`run_hmc` adds Stan-style warmup (dual-averaging step size + windowed
+cross-chain Welford mass adaptation, mcmc/adaptation.py) and returns thinned
+samples with acceptance statistics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .adaptation import (
+    da_init,
+    da_step_size,
+    da_update,
+    warmup_schedule,
+    welford_init,
+    welford_update_batch,
+    welford_variance,
+)
+
+
+class HMCState(NamedTuple):
+    position: jnp.ndarray   # (..., dim)
+    log_prob: jnp.ndarray   # (...)
+    grad: jnp.ndarray       # (..., dim)
+
+
+class HMCInfo(NamedTuple):
+    accept_prob: jnp.ndarray
+    accepted: jnp.ndarray
+    energy_change: jnp.ndarray
+
+
+def hmc_init(logprob_fn, position):
+    lp, grad = jax.value_and_grad(logprob_fn)(position)
+    return HMCState(position, lp, grad)
+
+
+def leapfrog(logprob_grad_fn, position, momentum, grad, step_size,
+             num_steps, inv_mass_diag):
+    """Velocity-Verlet integration of Hamiltonian dynamics.
+
+    Standard kick-drift-kick with the gradient of log pi (so "force" =
+    +grad log pi, the JAX-native replacement of the reference's
+    LAMMPS `run N` leapfrog at systems.py:94-103).
+    """
+
+    def step(carry, _):
+        q, p, g = carry
+        p = p + 0.5 * step_size * g
+        q = q + step_size * (inv_mass_diag * p)
+        lp, g = logprob_grad_fn(q)
+        p = p + 0.5 * step_size * g
+        return (q, p, g), None
+
+    (q, p, g), _ = jax.lax.scan(
+        step, (position, momentum, grad), None, length=num_steps
+    )
+    lp, g = logprob_grad_fn(q)
+    return q, p, lp, g
+
+
+def hmc_kernel(logprob_fn, step_size, num_leapfrog, inv_mass_diag):
+    """One HMC transition for a single chain. vmap over chains."""
+    logprob_grad_fn = jax.value_and_grad(logprob_fn)
+
+    def kernel(key, state):
+        k_mom, k_acc = jax.random.split(key)
+        # momentum ~ N(0, M) with M = 1/inv_mass (diag)
+        sqrt_mass = jnp.sqrt(1.0 / inv_mass_diag)
+        momentum = sqrt_mass * jax.random.normal(
+            k_mom, state.position.shape, state.position.dtype
+        )
+        kinetic = lambda p: 0.5 * jnp.sum(inv_mass_diag * p * p)
+
+        q, p, lp_new, g_new = leapfrog(
+            logprob_grad_fn, state.position, momentum, state.grad,
+            step_size, num_leapfrog, inv_mass_diag,
+        )
+        h_old = -state.log_prob + kinetic(momentum)
+        h_new = -lp_new + kinetic(p)
+        d_energy = h_old - h_new
+        # Overflow-safe Metropolis: accept prob = exp(min(0, dH))
+        log_accept = jnp.minimum(0.0, d_energy)
+        accept_prob = jnp.exp(log_accept)
+        u = jax.random.uniform(k_acc, (), state.position.dtype)
+        accepted = jnp.log(u) < log_accept
+        new_state = HMCState(
+            position=jnp.where(accepted, q, state.position),
+            log_prob=jnp.where(accepted, lp_new, state.log_prob),
+            grad=jnp.where(accepted, g_new, state.grad),
+        )
+        # Guard against divergent (NaN) proposals: treat as rejected.
+        finite = jnp.isfinite(h_new)
+        new_state = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new_state, state
+        )
+        accept_prob = jnp.where(finite, accept_prob, 0.0)
+        return new_state, HMCInfo(accept_prob, accepted & finite, d_energy)
+
+    return kernel
+
+
+class HMCResult(NamedTuple):
+    samples: jnp.ndarray        # (num_samples, chains, dim)
+    log_probs: jnp.ndarray      # (num_samples, chains)
+    accept_rate: jnp.ndarray    # scalar, sampling phase
+    step_size: jnp.ndarray      # adapted scalar
+    inv_mass_diag: jnp.ndarray  # adapted (dim,)
+    final_state: HMCState
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "logprob_fn", "num_samples", "num_warmup", "num_leapfrog",
+        "target_accept", "thin",
+    ),
+)
+def run_hmc(key, logprob_fn, init_position, num_samples, num_warmup=500,
+            step_size=0.1, num_leapfrog=10, target_accept=0.8, thin=1,
+            inv_mass_diag=None):
+    """Full HMC run: warmup (adaptation) + sampling, one XLA program.
+
+    init_position: (chains, dim). Returns HMCResult with samples of shape
+    (num_samples, chains, dim).
+    """
+    chains, dim = init_position.shape
+    dtype = init_position.dtype
+    if inv_mass_diag is None:
+        inv_mass_diag = jnp.ones(dim, dtype)
+
+    state = jax.vmap(lambda q: hmc_init(logprob_fn, q))(init_position)
+
+    def make_kernel(eps, inv_mass):
+        single = hmc_kernel(logprob_fn, eps, num_leapfrog, inv_mass)
+        return lambda keys, st: jax.vmap(single)(keys, st)
+
+    # ------------------------------------------------------------- warmup
+    in_window, window_end = warmup_schedule(num_warmup)
+    in_window = jnp.asarray(in_window)
+    window_end = jnp.asarray(window_end)
+
+    da_state = da_init(jnp.asarray(step_size, dtype))
+    wf_state = welford_init(dim, dtype)
+
+    def warmup_step(carry, xs):
+        state, da_state, wf_state, inv_mass = carry
+        key, in_win, win_end = xs
+        keys = jax.random.split(key, chains)
+        eps = da_step_size(da_state)
+        kernel = make_kernel(eps, inv_mass)
+        state, info = kernel(keys, state)
+        # cross-chain mean acceptance drives one shared step size
+        da_state = da_update(
+            da_state, jnp.mean(info.accept_prob), target_accept
+        )
+        wf_state = jax.lax.cond(
+            in_win,
+            lambda s: welford_update_batch(s, state.position),
+            lambda s: s,
+            wf_state,
+        )
+
+        def refresh(args):
+            da_state, wf_state, inv_mass = args
+            new_inv_mass = welford_variance(wf_state)
+            # restart step-size averaging around the current iterate
+            new_da = da_init(da_step_size(da_state))
+            return new_da, welford_init(dim, dtype), new_inv_mass
+
+        da_state, wf_state, inv_mass = jax.lax.cond(
+            win_end,
+            refresh,
+            lambda args: args,
+            (da_state, wf_state, inv_mass),
+        )
+        return (state, da_state, wf_state, inv_mass), None
+
+    if num_warmup > 0:
+        k_warm, key = jax.random.split(key)
+        warm_keys = jax.random.split(k_warm, num_warmup)
+        (state, da_state, _, inv_mass_diag), _ = jax.lax.scan(
+            warmup_step,
+            (state, da_state, wf_state, inv_mass_diag),
+            (warm_keys, in_window, window_end),
+        )
+        eps_final = da_step_size(da_state, averaged=True)
+    else:
+        eps_final = jnp.asarray(step_size, dtype)
+
+    # ----------------------------------------------------------- sampling
+    kernel = make_kernel(eps_final, inv_mass_diag)
+
+    def sample_step(carry, key):
+        state = carry
+        keys = jax.random.split(key, chains)
+        state, info = kernel(keys, state)
+        return state, None
+
+    def sample_block(state, key):
+        """`thin` transitions, keep the last."""
+        keys = jax.random.split(key, thin)
+        state, _ = jax.lax.scan(sample_step, state, keys)
+        return state, (state.position, state.log_prob)
+
+    def outer(carry, key):
+        state, acc = carry
+        keys = jax.random.split(key, chains)
+        state, info = kernel(keys, state)
+        if thin > 1:
+            sub_keys = jax.random.split(jax.random.fold_in(key, 1), thin - 1)
+            state, _ = jax.lax.scan(sample_step, state, sub_keys)
+        return (state, acc + jnp.mean(info.accept_prob)), (
+            state.position, state.log_prob,
+        )
+
+    sample_keys = jax.random.split(key, num_samples)
+    (state, acc_sum), (samples, log_probs) = jax.lax.scan(
+        outer, (state, jnp.zeros((), dtype)), sample_keys
+    )
+    return HMCResult(
+        samples=samples,
+        log_probs=log_probs,
+        accept_rate=acc_sum / num_samples,
+        step_size=eps_final,
+        inv_mass_diag=inv_mass_diag,
+        final_state=state,
+    )

@@ -1,0 +1,39 @@
+"""Checkpoint / resume for the full training state.
+
+Upgrade of the reference's best-model torch.save payload
+({"model","optim","scheduler","epoch","loss"}, applications/src/train.py:37-40,
+restored eval-only with strict=False at setup.py:102-109): here the ENTIRE
+pytree -- flow params, optax optimizer state, PRNG key, epoch, loss history --
+is serialized, so training resumes bit-exact (the reference has no resume
+path at all, SURVEY.md §5).
+
+Serialization is flax.serialization msgpack of host numpy arrays in a single
+file: atomic (write-temp + rename), dependency-light, and layout-independent
+(arrays are restored onto whatever device/sharding the target template uses).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path, state):
+    """Atomically serialize a pytree `state` to `path`."""
+    host_state = jax.tree.map(np.asarray, state)
+    data = serialization.to_bytes(host_state)
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(tmp, "wb") as fh:
+        fh.write(data)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path, template):
+    """Restore a pytree with the same structure as `template`."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    return serialization.from_bytes(template, data)
