@@ -83,12 +83,25 @@ def leapfrog(logprob_grad_fn, position, momentum, grad, step_size,
     return q, p, lp, g
 
 
-def hmc_kernel(logprob_fn, step_size, num_leapfrog, inv_mass_diag):
-    """One HMC transition for a single chain. vmap over chains."""
+def hmc_kernel(logprob_fn, step_size, num_leapfrog, inv_mass_diag,
+               step_jitter=0.2):
+    """One HMC transition for a single chain. vmap over chains.
+
+    `step_jitter` draws the step size uniformly from
+    [(1-j)*eps, (1+j)*eps] each transition. Without it, fixed-length HMC
+    resonates on near-harmonic targets (leapfrog rotation angle ~ pi per
+    trajectory makes proposals ~ -x and radial mixing stalls); jitter breaks
+    the periodic orbits.
+    """
     logprob_grad_fn = jax.value_and_grad(logprob_fn)
 
     def kernel(key, state):
-        k_mom, k_acc = jax.random.split(key)
+        k_mom, k_acc, k_eps = jax.random.split(key, 3)
+        eps = step_size * (
+            1.0 + step_jitter * jax.random.uniform(
+                k_eps, (), state.position.dtype, -1.0, 1.0
+            )
+        )
         # momentum ~ N(0, M) with M = 1/inv_mass (diag)
         sqrt_mass = jnp.sqrt(1.0 / inv_mass_diag)
         momentum = sqrt_mass * jax.random.normal(
@@ -98,7 +111,7 @@ def hmc_kernel(logprob_fn, step_size, num_leapfrog, inv_mass_diag):
 
         q, p, lp_new, g_new = leapfrog(
             logprob_grad_fn, state.position, momentum, state.grad,
-            step_size, num_leapfrog, inv_mass_diag,
+            eps, num_leapfrog, inv_mass_diag,
         )
         h_old = -state.log_prob + kinetic(momentum)
         h_new = -lp_new + kinetic(p)
@@ -137,12 +150,12 @@ class HMCResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "logprob_fn", "num_samples", "num_warmup", "num_leapfrog",
-        "target_accept", "thin",
+        "target_accept", "thin", "step_jitter",
     ),
 )
 def run_hmc(key, logprob_fn, init_position, num_samples, num_warmup=500,
             step_size=0.1, num_leapfrog=10, target_accept=0.8, thin=1,
-            inv_mass_diag=None):
+            inv_mass_diag=None, step_jitter=0.2):
     """Full HMC run: warmup (adaptation) + sampling, one XLA program.
 
     init_position: (chains, dim). Returns HMCResult with samples of shape
@@ -156,7 +169,8 @@ def run_hmc(key, logprob_fn, init_position, num_samples, num_warmup=500,
     state = jax.vmap(lambda q: hmc_init(logprob_fn, q))(init_position)
 
     def make_kernel(eps, inv_mass):
-        single = hmc_kernel(logprob_fn, eps, num_leapfrog, inv_mass)
+        single = hmc_kernel(logprob_fn, eps, num_leapfrog, inv_mass,
+                            step_jitter=step_jitter)
         return lambda keys, st: jax.vmap(single)(keys, st)
 
     # ------------------------------------------------------------- warmup

@@ -1,0 +1,82 @@
+"""Free-energy estimator tests: BAR/MBAR/Zwanzig recover the exact Delta F
+between two Gaussians (SURVEY.md §4b)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from normalizingflow_tpu.estimators import (
+    bar,
+    effective_sample_size,
+    mbar,
+    zwanzig,
+)
+
+# Two 1-D Gaussian "states": p0 = N(0, 1), p1 = N(mu, s^2).
+# Reduced potentials u_k(x) = -log p_k(x) + log Z_k ... use unnormalized
+# u0 = x^2/2, u1 = (x-mu)^2/(2 s^2); exact Delta f = f1 - f0 = -log(Z1/Z0)
+#   Z0 = sqrt(2 pi), Z1 = sqrt(2 pi) s  =>  Delta f = -log(s)
+MU, S = 1.5, 0.5
+EXACT_DF = -math.log(S)
+
+
+def _work_values(key, n=20000):
+    k0, k1 = jax.random.split(key)
+    x0 = jax.random.normal(k0, (n,))                 # samples from state 0
+    x1 = MU + S * jax.random.normal(k1, (n,))        # samples from state 1
+    u0 = lambda x: 0.5 * x * x
+    u1 = lambda x: 0.5 * ((x - MU) / S) ** 2
+    w_f = u1(x0) - u0(x0)   # forward work
+    w_r = u0(x1) - u1(x1)   # reverse work
+    return x0, x1, u0, u1, w_f, w_r
+
+
+def test_bar_recovers_exact_free_energy():
+    *_, w_f, w_r = _work_values(jax.random.PRNGKey(0))
+    df = float(bar(w_f, w_r))
+    np.testing.assert_allclose(df, EXACT_DF, atol=0.03)
+
+
+def test_zwanzig_both_directions():
+    *_, w_f, w_r = _work_values(jax.random.PRNGKey(1))
+    df_fwd = float(zwanzig(w_f))       # from state-0 samples
+    df_rev = -float(zwanzig(w_r))      # from state-1 samples
+    np.testing.assert_allclose(df_fwd, EXACT_DF, atol=0.1)
+    np.testing.assert_allclose(df_rev, EXACT_DF, atol=0.1)
+
+
+def test_mbar_recovers_exact_free_energy():
+    x0, x1, u0, u1, _, _ = _work_values(jax.random.PRNGKey(2))
+    x = jnp.concatenate([x0, x1])
+    u_kn = jnp.stack([u0(x), u1(x)])
+    f = mbar(u_kn, jnp.array([x0.shape[0], x1.shape[0]]))
+    np.testing.assert_allclose(float(f[1] - f[0]), EXACT_DF, atol=0.03)
+
+
+def test_mbar_consistent_with_bar():
+    x0, x1, u0, u1, w_f, w_r = _work_values(jax.random.PRNGKey(3))
+    x = jnp.concatenate([x0, x1])
+    u_kn = jnp.stack([u0(x), u1(x)])
+    f = mbar(u_kn, jnp.array([x0.shape[0], x1.shape[0]]))
+    df_bar = float(bar(w_f, w_r))
+    np.testing.assert_allclose(float(f[1]), df_bar, atol=0.02)
+
+
+def test_ess_iid_and_correlated():
+    key = jax.random.PRNGKey(4)
+    n, m = 1000, 4
+    iid = jax.random.normal(key, (n, m))
+    ess_iid = float(effective_sample_size(iid))
+    assert ess_iid > 0.5 * n * m, ess_iid
+
+    # AR(1) with phi = 0.9 -> tau ~ (1+phi)/(1-phi) = 19
+    phi = 0.9
+    eps = np.asarray(jax.random.normal(jax.random.PRNGKey(5), (n, m)))
+    x = np.zeros((n, m))
+    for t in range(1, n):
+        x[t] = phi * x[t - 1] + eps[t] * math.sqrt(1 - phi * phi)
+    ess_corr = float(effective_sample_size(jnp.asarray(x)))
+    tau_hat = n * m / ess_corr
+    assert 10.0 < tau_hat < 30.0, tau_hat

@@ -1,0 +1,91 @@
+"""HMC engine statistical tests (SURVEY.md §4b): chain moments and acceptance
+on analytic targets, plus adaptation sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from normalizingflow_tpu.mcmc import run_hmc
+from normalizingflow_tpu.estimators import (
+    min_ess,
+    potential_scale_reduction,
+)
+from normalizingflow_tpu.targets import IllConditionedGaussian
+
+
+def test_hmc_standard_normal_moments():
+    dim, chains = 4, 64
+    logprob = lambda x: -0.5 * jnp.sum(x * x)
+    key = jax.random.PRNGKey(0)
+    init = jax.random.normal(key, (chains, dim))
+    res = run_hmc(
+        jax.random.PRNGKey(1), logprob, init, num_samples=1000,
+        num_warmup=300, step_size=0.2, num_leapfrog=8,
+    )
+    samples = np.asarray(res.samples).reshape(-1, dim)
+    assert 0.5 < float(res.accept_rate) <= 1.0
+    np.testing.assert_allclose(samples.mean(axis=0), 0.0, atol=0.1)
+    np.testing.assert_allclose(samples.var(axis=0), 1.0, atol=0.12)
+
+
+def test_hmc_adapts_step_size_and_mass():
+    """On an anisotropic Gaussian, warmup should learn per-dim inv mass
+    close to the true variances."""
+    variances = jnp.array([0.01, 1.0, 25.0])
+    logprob = lambda x: -0.5 * jnp.sum(x * x / variances)
+    chains = 64
+    init = jax.random.normal(jax.random.PRNGKey(2), (chains, 3)) * jnp.sqrt(
+        variances
+    )
+    res = run_hmc(
+        jax.random.PRNGKey(3), logprob, init, num_samples=400,
+        num_warmup=600, step_size=0.1, num_leapfrog=8,
+    )
+    inv_mass = np.asarray(res.inv_mass_diag)
+    ratio = inv_mass / np.asarray(variances)
+    assert np.all(ratio > 0.2) and np.all(ratio < 5.0), ratio
+    assert 0.5 < float(res.accept_rate) <= 1.0
+    samples = np.asarray(res.samples).reshape(-1, 3)
+    np.testing.assert_allclose(
+        samples.var(axis=0), np.asarray(variances), rtol=0.35
+    )
+
+
+def test_hmc_rhat_and_ess():
+    logprob = lambda x: -0.5 * jnp.sum(x * x)
+    chains, dim = 16, 2
+    init = 3.0 + jax.random.normal(jax.random.PRNGKey(4), (chains, dim))
+    res = run_hmc(
+        jax.random.PRNGKey(5), logprob, init, num_samples=400,
+        num_warmup=300, step_size=0.3, num_leapfrog=8,
+    )
+    rhat = np.asarray(potential_scale_reduction(res.samples))
+    assert np.all(rhat < 1.1), rhat
+    ess = float(min_ess(res.samples))
+    assert ess > 200.0, ess  # 6400 total draws, well-mixed
+
+
+def test_hmc_ill_conditioned_with_adaptation():
+    target = IllConditionedGaussian(8, condition=1e3)
+    chains = 64
+    init = target.sample(jax.random.PRNGKey(6), chains)
+    res = run_hmc(
+        jax.random.PRNGKey(7), target.log_prob, init, num_samples=300,
+        num_warmup=800, step_size=0.05, num_leapfrog=16,
+    )
+    assert float(res.accept_rate) > 0.5
+    samples = np.asarray(res.samples).reshape(-1, 8)
+    ratio = samples.var(axis=0) / np.asarray(target.variances)
+    assert np.all(ratio > 0.4) and np.all(ratio < 2.5), ratio
+
+
+def test_hmc_rejects_divergent_proposals():
+    """Absurdly large step size: chain must not blow up to NaN."""
+    logprob = lambda x: -0.5 * jnp.sum(x * x)
+    init = jnp.ones((4, 3))
+    res = run_hmc(
+        jax.random.PRNGKey(8), logprob, init, num_samples=50,
+        num_warmup=0, step_size=1e4, num_leapfrog=5,
+    )
+    assert np.all(np.isfinite(np.asarray(res.samples)))
+    assert float(res.accept_rate) < 0.05
