@@ -1,0 +1,82 @@
+"""Generate MD-equivalent training data with the built-in HMC engine.
+
+`python -m normalizingflow_tpu.apps.sample_data <config.yaml> [nframes]`
+
+The reference trains on externally produced LAMMPS trajectories
+(cfg.dataset.training_data xyz files, SURVEY.md §2.3) that are not shipped
+with it. This app replaces that pipeline end-to-end: it runs warmup-adapted
+HMC chains on the config's own differentiable potential (LJ, EAM-Fe, phi^4,
+Einstein crystal, Gaussian mixture) at the config's kT, starting from the
+prior (Einstein-crystal lattice noise), and writes train/test .npy
+trajectories to the paths named in the config.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import infer_boxlength, load_config, build_potential
+from ..mcmc import run_hmc
+
+
+def generate(cfg, nframes=2000, chains=64, thin=2, seed=0):
+    b, boxlength = infer_boxlength(cfg.dataset)
+    prior = build_potential(
+        cfg.prior.type, cfg.prior, cfg.dataset, boxlength=boxlength
+    )
+    ds = cfg.dataset
+    target = build_potential(ds.potential, ds, ds, boxlength=boxlength)
+
+    key = jax.random.PRNGKey(seed)
+    k_init, k_run = jax.random.split(key)
+    init = prior.sample(k_init, chains)
+
+    def logprob(x):
+        return target.log_prob(x[None])[0]
+
+    draws = -(-nframes // chains)
+    res = run_hmc(
+        k_run, logprob, init,
+        num_samples=draws, num_warmup=500, step_size=0.05,
+        num_leapfrog=10, thin=thin,
+    )
+    frames = np.asarray(res.samples).reshape(-1, init.shape[1])[:nframes]
+    return frames, float(res.accept_rate)
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print("usage: python -m normalizingflow_tpu.apps.sample_data "
+              "<config.yaml> [nframes]", file=sys.stderr)
+        return 2
+    cfg = load_config(argv[0])
+    nframes = int(argv[1]) if len(argv) > 1 else 2000
+
+    frames, acc = generate(cfg, nframes)
+    train_path = cfg.dataset.training_data
+    test_path = cfg.dataset.testing_data
+    n_train = int(0.8 * len(frames))
+    for path, arr in ((train_path, frames[:n_train]),
+                      (test_path, frames[n_train:])):
+        if path is None:
+            continue
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        if path.endswith(".npy"):
+            np.save(path, arr)
+        else:
+            from ..io.xyz import write_xyz
+
+            write_xyz(path, arr, cfg.dataset.nparticles)
+    print(f"wrote {n_train} train + {len(frames) - n_train} test frames "
+          f"(HMC acceptance {acc:.2f}) -> {train_path}, {test_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

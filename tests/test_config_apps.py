@@ -1,0 +1,116 @@
+"""Config parsing + app pipeline tests: every shipped YAML builds; the train
+CLI and free-energy evaluation run end-to-end on a small analytic config."""
+
+import dataclasses
+import glob
+import os
+
+import jax
+import numpy as np
+import pytest
+import yaml
+
+from normalizingflow_tpu.config import (
+    infer_boxlength,
+    load_config,
+    setup_model,
+)
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+ALL_CONFIGS = sorted(glob.glob(os.path.join(CONFIG_DIR, "*.yaml")))
+# dataset-backed configs need trajectory files; build/check model only
+DATA_BACKED = {"LJ", "Fe_100K", "Fe_400K", "Fe_700K", "Polymer",
+               "Polymer_rnvp"}
+
+
+@pytest.mark.parametrize("path", ALL_CONFIGS, ids=os.path.basename)
+def test_config_parses_and_builds(path):
+    cfg = load_config(path)
+    assert cfg.dataset.name is not None
+    if cfg.dataset.name in DATA_BACKED:
+        # model (flow+prior) must build even without data files
+        import normalizingflow_tpu.config as C
+
+        b, boxlength = infer_boxlength(cfg.dataset)
+        prior = C.build_potential(
+            cfg.prior.type, cfg.prior, cfg.dataset, boxlength=boxlength
+        )
+        chain = C.build_flow_stack(cfg, b)
+        assert prior is not None and len(chain.bijectors) > 0
+    else:
+        flow, potential, cfg2 = setup_model(cfg)
+        # one forward pass through the built model
+        n = cfg.dataset.nparticles * cfg.dataset.dim
+        params = flow.init(jax.random.PRNGKey(0))
+        x = potential.sample(jax.random.PRNGKey(1), 3)
+        lp = flow.log_prob(params, x)
+        assert lp.shape == (3,) and bool(np.all(np.isfinite(np.asarray(lp))))
+
+
+def test_boxlength_inference_matches_reference():
+    """setup.py:39-45: B=(N/(8 rho))^(1/3); B=ncellx*cell_len/2."""
+    cfg = load_config(os.path.join(CONFIG_DIR, "Einstein.yaml"))
+    b, box = infer_boxlength(cfg.dataset)
+    np.testing.assert_allclose(b, (32 / (8 * 1.28)) ** (1 / 3), rtol=1e-12)
+    np.testing.assert_allclose(box, 2 * b, rtol=1e-12)
+
+    cfg = load_config(os.path.join(CONFIG_DIR, "Fe_400K.yaml"))
+    b, box = infer_boxlength(cfg.dataset)
+    np.testing.assert_allclose(b, 3 * 2.9115 / 2, rtol=1e-12)
+
+
+def test_train_cli_and_fe_eval(tmp_path):
+    """Full app pipeline on the 2-D mixture: train CLI -> checkpoint ->
+    free-energy estimates near 0 (model trained to match the target)."""
+    from normalizingflow_tpu.apps.fe_eval import fe_diff
+    from normalizingflow_tpu.apps.test import load_trained
+    from normalizingflow_tpu.apps.train import main as train_main
+
+    base = yaml.safe_load(
+        open(os.path.join(CONFIG_DIR, "Gaussian_rnvp.yaml"))
+    )
+    base["train_parameters"]["max_epochs"] = 400
+    base["output"] = {
+        "training_dir": str(tmp_path / "train") + "/",
+        "testing_dir": str(tmp_path / "test") + "/",
+        "model_dir": str(tmp_path / "models") + "/",
+        "best_model_dir": str(tmp_path / "best") + "/",
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(base))
+
+    assert train_main([str(cfg_path)]) == 0
+    ckpt = tmp_path / "models" / "Gaussian_rnvp_2l.msgpack"
+    assert ckpt.exists()
+
+    cfg = load_config(str(cfg_path))
+    flow, params, potential, cfg = load_trained(cfg, mode="testing")
+    out = fe_diff(
+        flow, params, potential, jax.random.PRNGKey(5), nsamples=500,
+        n_particles=cfg.dataset.nparticles, kT=cfg.dataset.kT,
+        plot_path=str(tmp_path / "Q.png"),
+    )
+    # model ~ target => per-particle Delta F ~ entropy mismatch, near zero,
+    # and the four estimators must agree with each other
+    assert abs(out["bar"]) < 0.5
+    assert abs(out["bar"] - out["emus"]) < 0.1
+    assert abs(out["bar"] - out["md"]) < 0.2
+    assert abs(out["bar"] - out["nf"]) < 0.2
+    assert (tmp_path / "Q.png").exists()
+
+
+def test_sample_data_app(tmp_path):
+    """HMC data generation for a small LJ config."""
+    from normalizingflow_tpu.apps.sample_data import main as gen_main
+
+    base = yaml.safe_load(open(os.path.join(CONFIG_DIR, "LJ.yaml")))
+    base["dataset"]["training_data"] = str(tmp_path / "lj_train.npy")
+    base["dataset"]["testing_data"] = str(tmp_path / "lj_test.npy")
+    base["prior"]["centers"] = os.path.join(
+        CONFIG_DIR, "..", "data", "lj_fcc_ref.xyz"
+    )
+    cfg_path = tmp_path / "lj.yaml"
+    cfg_path.write_text(yaml.safe_dump(base))
+    assert gen_main([str(cfg_path), "128"]) == 0
+    train = np.load(tmp_path / "lj_train.npy")
+    assert train.shape[1] == 96 and np.all(np.isfinite(train))

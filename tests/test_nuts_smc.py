@@ -1,0 +1,114 @@
+"""NUTS and SMC statistical tests."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from normalizingflow_tpu.mcmc.nuts import run_nuts
+from normalizingflow_tpu.mcmc.smc import (
+    ess_from_log_weights,
+    run_smc,
+    systematic_resampling,
+)
+
+
+def test_nuts_standard_normal():
+    dim, chains = 4, 32
+    logprob = lambda x: -0.5 * jnp.sum(x * x)
+    init = jax.random.normal(jax.random.PRNGKey(0), (chains, dim))
+    res = run_nuts(
+        jax.random.PRNGKey(1), logprob, init, num_samples=500,
+        num_warmup=300, step_size=0.2, max_depth=6,
+    )
+    s = np.asarray(res.samples).reshape(-1, dim)
+    assert float(res.divergence_rate) < 0.01
+    assert 1.0 <= float(res.mean_depth) <= 6.0
+    np.testing.assert_allclose(s.mean(axis=0), 0.0, atol=0.1)
+    np.testing.assert_allclose(s.var(axis=0), 1.0, atol=0.12)
+
+
+def test_nuts_adapts_to_anisotropy():
+    variances = jnp.array([0.04, 1.0, 9.0])
+    logprob = lambda x: -0.5 * jnp.sum(x * x / variances)
+    init = jax.random.normal(jax.random.PRNGKey(2), (32, 3))
+    res = run_nuts(
+        jax.random.PRNGKey(3), logprob, init, num_samples=500,
+        num_warmup=600, step_size=0.1, max_depth=8,
+    )
+    s = np.asarray(res.samples).reshape(-1, 3)
+    np.testing.assert_allclose(
+        s.var(axis=0), np.asarray(variances), rtol=0.35
+    )
+    assert float(res.divergence_rate) < 0.01
+
+
+def test_nuts_explores_from_bad_init():
+    """Chains initialized far in the tail must recover the bulk."""
+    logprob = lambda x: -0.5 * jnp.sum(x * x)
+    init = jnp.full((16, 2), 6.0)
+    res = run_nuts(
+        jax.random.PRNGKey(4), logprob, init, num_samples=300,
+        num_warmup=300, step_size=0.5, max_depth=8,
+    )
+    s = np.asarray(res.samples).reshape(-1, 2)
+    np.testing.assert_allclose(s.mean(axis=0), 0.0, atol=0.15)
+
+
+# ------------------------------------------------------------------- SMC
+def test_systematic_resampling_unbiased():
+    key = jax.random.PRNGKey(5)
+    log_w = jnp.log(jnp.array([0.1, 0.2, 0.3, 0.4]))
+    counts = np.zeros(4)
+    for i in range(200):
+        idx = systematic_resampling(jax.random.fold_in(key, i), log_w, 100)
+        counts += np.bincount(np.asarray(idx), minlength=4)
+    freq = counts / counts.sum()
+    np.testing.assert_allclose(freq, [0.1, 0.2, 0.3, 0.4], atol=0.01)
+
+
+def test_ess_from_log_weights():
+    uniform = jnp.zeros(100)
+    np.testing.assert_allclose(
+        float(ess_from_log_weights(uniform)), 100.0, rtol=1e-6
+    )
+    degenerate = jnp.array([0.0] + [-1e9] * 99)
+    np.testing.assert_allclose(
+        float(ess_from_log_weights(degenerate)), 1.0, rtol=1e-6
+    )
+
+
+def test_smc_gaussian_shift_evidence():
+    """Anneal N(0,1)^d -> N(mu,1)^d: log Z = 0 (both normalized), and the
+    final particles should match the target moments."""
+    dim, n = 4, 2048
+    mu = 1.5
+    proposal_lp = lambda x: -0.5 * jnp.sum(x * x, axis=-1)
+    target_lp = lambda x: -0.5 * jnp.sum((x - mu) ** 2, axis=-1)
+    particles = jax.random.normal(jax.random.PRNGKey(6), (n, dim))
+    res = run_smc(
+        jax.random.PRNGKey(7), particles, proposal_lp, target_lp,
+        n_mutation_steps=4, num_leapfrog=5, step_size=0.5,
+    )
+    p = np.asarray(res.particles)
+    assert int(res.n_stages) >= 2
+    np.testing.assert_allclose(p.mean(axis=0), mu, atol=0.15)
+    np.testing.assert_allclose(p.var(axis=0), 1.0, atol=0.2)
+    # both densities share the same normalizer -> log evidence ~ 0
+    assert abs(float(res.log_evidence)) < 0.25
+
+
+def test_smc_estimates_evidence_ratio():
+    """Anneal N(0,1) -> unnormalized 3*N(0,1): log Z = log 3."""
+    dim, n = 2, 4096
+    proposal_lp = lambda x: -0.5 * jnp.sum(x * x, axis=-1)
+    target_lp = lambda x: math.log(3.0) - 0.5 * jnp.sum(x * x, axis=-1)
+    particles = jax.random.normal(jax.random.PRNGKey(8), (n, dim))
+    res = run_smc(
+        jax.random.PRNGKey(9), particles, proposal_lp, target_lp,
+        n_mutation_steps=2, num_leapfrog=4, step_size=0.5,
+    )
+    np.testing.assert_allclose(
+        float(res.log_evidence), math.log(3.0), atol=0.05
+    )
