@@ -59,10 +59,13 @@ def train(flow, target, key):
     argument -- XLA unrolls statically-bounded loops at some trip counts
     (observed 250 s compiles); a dynamic bound can never unroll."""
     params = flow.init(key)
-    optimizer = optax.adam(
-        optax.warmup_cosine_decay_schedule(
-            0.0, 2e-3, warmup_steps=500, decay_steps=TRAIN_STEPS
-        )
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adam(
+            optax.warmup_cosine_decay_schedule(
+                0.0, 1e-3, warmup_steps=500, decay_steps=TRAIN_STEPS
+            )
+        ),
     )
     opt_state = optimizer.init(params)
 

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from .base import Bijector
-from .rqs import split_spline_params, unconstrained_rqs
+from .rqs import apply_rqs, split_spline_params, unconstrained_rqs
 
 
 def _uniform(key, shape, bound, dtype=jnp.float32):
@@ -174,7 +174,7 @@ class SplineAR(Bijector):
             raw = raw0
         raw = jnp.swapaxes(raw, 0, 1)  # (B, D, 3K-1)
         w, h, d = self._prep_spline(raw)
-        z, ld = unconstrained_rqs(
+        z, ld = apply_rqs(
             x, w, h, d, inverse=False, tail_bound=self.tail_bound
         )
         return z, jnp.sum(ld, axis=1)

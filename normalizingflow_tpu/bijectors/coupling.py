@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from .base import Bijector
 from .mlp import mlp_apply, mlp_init
-from .rqs import split_spline_params, unconstrained_rqs
+from .rqs import apply_rqs, split_spline_params
 
 
 class AffineCoupling(Bijector):
@@ -140,7 +140,7 @@ class SplineCoupling(Bijector):
     def _apply(self, params, x, inverse):
         cond, trans = self._split(x)
         w, h, d = self._spline_params(params, cond)
-        out, ld = unconstrained_rqs(
+        out, ld = apply_rqs(
             trans, w, h, d, inverse=inverse, tail_bound=self.tail_bound
         )
         log_det = jnp.sum(ld, axis=1)

@@ -222,6 +222,48 @@ def unconstrained_rqs(
     return outputs, logabsdet
 
 
+# ---------------------------------------------------------------------------
+# Accelerated dispatch: on TPU, large spline evaluations route to the fused
+# Pallas kernel (ops/rqs_pallas.py, ~6x faster than the XLA lowering of this
+# file); small/CPU calls and all gradients use the jnp path above. Toggle
+# with `set_fused_rqs`.
+_FUSED_ENABLED = True
+_FUSED_MIN_ELEMENTS = 4096
+
+
+def set_fused_rqs(enabled):
+    global _FUSED_ENABLED
+    _FUSED_ENABLED = bool(enabled)
+
+
+def apply_rqs(inputs, w, h, d, *, inverse=False, tail_bound=None, left=None,
+              right=None, bottom=None, top=None):
+    """unconstrained_rqs with automatic Pallas acceleration on TPU."""
+    if tail_bound is not None:
+        left, right = -tail_bound, tail_bound
+        bottom, top = left, right
+    if bottom is None:
+        bottom, top = left, right
+    n = 1
+    for s in inputs.shape:
+        n *= s
+    if (
+        _FUSED_ENABLED
+        and n >= _FUSED_MIN_ELEMENTS
+        and jax.default_backend() == "tpu"
+    ):
+        from ..ops.rqs_pallas import unconstrained_rqs_fused
+
+        return unconstrained_rqs_fused(
+            inputs, w, h, d, inverse, float(left), float(right),
+            float(bottom), float(top), False,
+        )
+    return unconstrained_rqs(
+        inputs, w, h, d, inverse=inverse, left=left, right=right,
+        bottom=bottom, top=top,
+    )
+
+
 def split_spline_params(raw, num_bins):
     """Split a (..., 3K-1) conditioner output into (W, H, D) raw params.
 

@@ -1,0 +1,157 @@
+"""Flow-seeded relaxation and hybrid training-data collection.
+
+TPU rebuild of /root/reference/applications/src/dynamics.py and the
+independence-Metropolis filter of applications/src/utils.py:82-99. The
+reference relaxes ONE flow sample at a time through a LAMMPS-driven HMC chain
+(dynamics.py:59-65) and loops Python over frames (dynamics.py:3-23); here
+every frame is a vmapped chain inside one jit-compiled program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .hmc import run_hmc
+
+
+def collect_hmc_data(key, flow, params, target, n_chains=8, n_steps=500,
+                     burnin=100, step_size=0.01, num_leapfrog=10, kT=1.0):
+    """Flow samples -> HMC relaxation -> burn-in-trimmed training data.
+
+    Counterpart of dynamics.collect_hmc_data (dynamics.py:59-65) + the
+    acceptance-gated mixing policy consumed by train.py:14-19. Returns
+    (data (n_frames, dim), acceptance_rate).
+    """
+    k_sample, k_run = jax.random.split(key)
+    x0, _, _ = flow.sample(params, k_sample, n_chains)
+
+    def logprob(x):
+        return target.log_prob(x[None])[0] / kT if kT != 1.0 \
+            else target.log_prob(x[None])[0]
+
+    res = run_hmc(
+        k_run, logprob, x0, num_samples=n_steps, num_warmup=0,
+        step_size=step_size, num_leapfrog=num_leapfrog,
+    )
+    data = res.samples[burnin:].reshape(-1, x0.shape[1])
+    return data, res.accept_rate
+
+
+class RelaxationResult(NamedTuple):
+    positions: jnp.ndarray   # (n, dim) relaxed frames
+    q_learned: jnp.ndarray   # (n,) flow logp with velocity marginalized
+    q_energy: jnp.ndarray    # (n,) -U/kT after relaxation
+    q_energy_before: jnp.ndarray
+
+
+def relaxation_step(key, flow, params, target, traj, kT=1.0, path_len=12,
+                    step_size=0.01, soft_factor=1000.0):
+    """Short HMC relaxation of each frame at a softened temperature.
+
+    Counterpart of dynamics.relaxation_step (dynamics.py:3-23): one
+    leapfrog trajectory per frame with momenta drawn at init_beta =
+    beta/soft_factor (the reference's init_beta=beta/1000), energies
+    recorded before/after, and the flow log-density of the relaxed frame
+    computed with the velocity marginalized out (integrate_out_v).
+    All frames relax in parallel as vmapped chains.
+    """
+    n, dim = traj.shape
+    k_mom, k_v = jax.random.split(key)
+
+    beta = 1.0 / kT
+    q_before = -target.potential(traj) * beta
+
+    logprob_grad = jax.value_and_grad(
+        lambda x: -target.potential(x[None])[0] * beta
+    )
+
+    def leapfrog_frame(q0, p0):
+        def step(carry, _):
+            q, p, g = carry
+            p = p + 0.5 * step_size * g
+            q = q + step_size * p
+            _, g = logprob_grad(q)
+            p = p + 0.5 * step_size * g
+            return (q, p, g), None
+
+        _, g0 = logprob_grad(q0)
+        (q, p, _), _ = jax.lax.scan(
+            step, (q0, p0, g0), None, length=path_len
+        )
+        return q
+
+    # soft momenta: variance multiplied by soft_factor (init_beta small)
+    p0 = jax.random.normal(k_mom, traj.shape) * jnp.sqrt(soft_factor / beta
+                                                         if beta > 0 else 1.0)
+    relaxed = jax.vmap(leapfrog_frame)(traj, p0)
+    q_after = -target.potential(relaxed) * beta
+    q_learned = integrate_out_v(
+        k_v, flow, params, target, relaxed, kT=kT, path_len=path_len,
+        step_size=step_size,
+    )
+    return RelaxationResult(relaxed, q_learned, q_after, q_before)
+
+
+def integrate_out_v(key, flow, params, target, frames, kT=1.0, npoints=10,
+                    path_len=12, step_size=0.01):
+    """Marginalize the momentum of the relaxation map through the flow.
+
+    Counterpart of dynamics.integrate_out_v (dynamics.py:26-36): for each
+    frame, draw `npoints` momenta, integrate each trajectory, evaluate the
+    flow log-density of the endpoints, and logsumexp-average:
+    log p(frame) ~ logsumexp_v log p_flow(endpoint(frame, v)) - log npoints.
+    Runs all frames x npoints trajectories as one vmapped batch.
+    """
+    n, dim = frames.shape
+    beta = 1.0 / kT
+    logprob_grad = jax.value_and_grad(
+        lambda x: -target.potential(x[None])[0] * beta
+    )
+
+    def endpoint(q0, p0):
+        def step(carry, _):
+            q, p, g = carry
+            p = p + 0.5 * step_size * g
+            q = q + step_size * p
+            _, g = logprob_grad(q)
+            p = p + 0.5 * step_size * g
+            return (q, p, g), None
+
+        _, g0 = logprob_grad(q0)
+        (q, _, _), _ = jax.lax.scan(step, (q0, p0, g0), None,
+                                    length=path_len)
+        return q
+
+    ps = jax.random.normal(key, (npoints, n, dim)) * jnp.sqrt(1.0 / beta)
+    ends = jax.vmap(lambda p: jax.vmap(endpoint)(frames, p))(ps)
+    lps = jax.vmap(
+        lambda xs: flow.log_prob(params, xs)
+    )(ends.reshape(npoints, n, dim))
+    return jax.scipy.special.logsumexp(lps, axis=0) - jnp.log(npoints)
+
+
+def metropolize(key, target, x, kT=1.0, burnin=20):
+    """Independence-Metropolis filter of flow samples by target energy.
+
+    Counterpart of applications/src/utils.py:82-99: walk the sample list,
+    accept sample i over the current state with prob exp(-(U_i - U_cur)/kT);
+    return the accept mask (True where the walker moved, post burn-in) and
+    the walker's energy trace. Sequential by construction -> lax.scan.
+    """
+    energies = target.potential(x) / kT
+    n = x.shape[0]
+    keys = jax.random.split(key, n)
+
+    def step(carry, inp):
+        cur_e = carry
+        e, k = inp
+        accept = jnp.log(jax.random.uniform(k, (), e.dtype)) < (cur_e - e)
+        new_e = jnp.where(accept, e, cur_e)
+        return new_e, accept
+
+    _, accepts = jax.lax.scan(step, energies[0], (energies, keys))
+    idx_mask = accepts & (jnp.arange(n) > burnin)
+    return idx_mask, energies
