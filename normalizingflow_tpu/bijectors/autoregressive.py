@@ -121,14 +121,25 @@ class SplineAR(Bijector):
     reproducing the reference's double-normalization pipeline exactly.
 
     `periodic=False` reproduces the plain-embedding variant
-    (nf/flows_1.py:395-465) which feeds raw x_{<i}.
+    (nf/flows_1.py:395-465) which feeds raw x_{<i}. `input_bounds` /
+    `output_bounds` enable the asymmetric-domain variant
+    (nf/flows_1.py:265-333 + nf/utils_1.py:151-280): the spline maps
+    [in_l, in_r] -> [out_l, out_r] with identity tails outside.
     """
 
     def __init__(self, dim, num_bins=32, tail_bound=3.0, hidden_dim=800,
-                 periodic=True):
+                 periodic=True, input_bounds=None, output_bounds=None):
         self.dim = int(dim)
         self.num_bins = int(num_bins)
         self.tail_bound = float(tail_bound)
+        if input_bounds is None:
+            input_bounds = (-self.tail_bound, self.tail_bound)
+        if output_bounds is None:
+            output_bounds = tuple(input_bounds)
+        self.input_bounds = (float(input_bounds[0]), float(input_bounds[1]))
+        self.output_bounds = (float(output_bounds[0]), float(output_bounds[1]))
+        self.width = (self.input_bounds[1] - self.input_bounds[0]) / 2.0
+        self.height = (self.output_bounds[1] - self.output_bounds[0]) / 2.0
         self.hidden_dim = int(hidden_dim)
         self.periodic = bool(periodic)
         self.cond = _MaskedStackedMLPs(
@@ -150,14 +161,14 @@ class SplineAR(Bijector):
         base = x[:, : self.dim - 1]
         if not self.periodic:
             return base
-        ang = jnp.pi * base / self.tail_bound
+        ang = jnp.pi * base / self.width
         return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=1)
 
     def _prep_spline(self, raw):
         """Layer-level parameter pipeline of nf/flows.py:185-187."""
         w, h, d = split_spline_params(raw, self.num_bins)
-        w = 2.0 * self.tail_bound * jax.nn.softmax(w, axis=-1)
-        h = 2.0 * self.tail_bound * jax.nn.softmax(h, axis=-1)
+        w = 2.0 * self.width * jax.nn.softmax(w, axis=-1)
+        h = 2.0 * self.height * jax.nn.softmax(h, axis=-1)
         d = jax.nn.softplus(d)
         return w, h, d
 
@@ -175,7 +186,9 @@ class SplineAR(Bijector):
         raw = jnp.swapaxes(raw, 0, 1)  # (B, D, 3K-1)
         w, h, d = self._prep_spline(raw)
         z, ld = apply_rqs(
-            x, w, h, d, inverse=False, tail_bound=self.tail_bound
+            x, w, h, d, inverse=False,
+            left=self.input_bounds[0], right=self.input_bounds[1],
+            bottom=self.output_bounds[0], top=self.output_bounds[1],
         )
         return z, jnp.sum(ld, axis=1)
 
@@ -187,7 +200,9 @@ class SplineAR(Bijector):
         raw0 = jnp.broadcast_to(params["init_raw"], (B, 3 * self.num_bins - 1))
         w, h, d = self._prep_spline(raw0)
         x0, ld0 = unconstrained_rqs(
-            z[:, 0], w, h, d, inverse=True, tail_bound=self.tail_bound
+            z[:, 0], w, h, d, inverse=True,
+            left=self.input_bounds[0], right=self.input_bounds[1],
+            bottom=self.output_bounds[0], top=self.output_bounds[1],
         )
         x_init = jnp.zeros_like(z).at[:, 0].set(x0)
         if self.dim == 1:
@@ -200,7 +215,9 @@ class SplineAR(Bijector):
             w, h, d = self._prep_spline(raw)
             zi = jax.lax.dynamic_index_in_dim(z, i, axis=1, keepdims=False)
             xi, ld = unconstrained_rqs(
-                zi, w, h, d, inverse=True, tail_bound=self.tail_bound
+                zi, w, h, d, inverse=True,
+                left=self.input_bounds[0], right=self.input_bounds[1],
+                bottom=self.output_bounds[0], top=self.output_bounds[1],
             )
             x_partial = x_partial.at[:, i].set(xi)
             return (x_partial, log_det + ld), None

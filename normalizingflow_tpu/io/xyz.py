@@ -34,14 +34,20 @@ def _read_xyz_python(path):
     return np.stack(frames) if frames else np.empty((0, 0, 3))
 
 
-def read_xyz(path):
-    """Read an XYZ trajectory -> (n_frames, n_atoms, 3) float64 array."""
-    try:
-        from ._cxyz import read_xyz as c_read
+def read_xyz(path, native=True):
+    """Read an XYZ trajectory -> (n_frames, n_atoms, 3) float64 array.
 
-        return c_read(path)
-    except Exception:
-        return _read_xyz_python(path)
+    Uses the C++ parser (io/cxyz.cpp, built on demand) when available;
+    falls back to pure Python.
+    """
+    if native:
+        try:
+            from ._build import read_xyz_native
+
+            return read_xyz_native(path)
+        except Exception:
+            pass
+    return _read_xyz_python(path)
 
 
 def write_xyz(path, traj, n_particles, append=False):
