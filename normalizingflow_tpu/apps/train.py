@@ -13,7 +13,7 @@ import sys
 import jax
 
 from ..config import load_config, setup_model
-from ..train.loop import train_flow
+from ..train.fused import train_flow_fused
 
 
 def main(argv=None):
@@ -30,7 +30,7 @@ def main(argv=None):
     ckpt = os.path.join(
         cfg.output.model_dir, f"{cfg.dataset.name}.msgpack"
     )
-    params, history = train_flow(
+    params, history = train_flow_fused(
         flow,
         jax.random.PRNGKey(cfg.seed),
         potential,

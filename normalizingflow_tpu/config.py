@@ -18,6 +18,7 @@ wiring (/root/reference/applications/src/config.py:3-69, setup.py:17-82):
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
@@ -201,13 +202,16 @@ def build_potential(name, cfg_section, ds: DatasetConfig, boxlength=None):
         return LennardJones(
             ds.nparticles, boxlength, point_dim=ds.dim, epsilon=ds.epsilon,
             sigma=ds.sigma, cutoff=ds.cutoff, shift=ds.shift, kT=ds.kT,
+            pos_dir=ds.data if ds.data and os.path.exists(ds.data) else None,
+            data_type=ds.type,
         )
     if name == "Fe":
         from .targets.eam import EAMIron
 
         return EAMIron(
             nparticles=ds.nparticles, boxlength=boxlength, kT=ds.kT,
-            pos_dir=ds.data, data_type=ds.type,
+            pos_dir=ds.data if ds.data and os.path.exists(ds.data) else None,
+            data_type=ds.type,
         )
     if name == "SimData":
         return TrajectoryDataset(ds.data, data_type=ds.type)

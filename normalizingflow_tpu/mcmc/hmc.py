@@ -137,6 +137,40 @@ def hmc_kernel(logprob_fn, step_size, num_leapfrog, inv_mass_diag,
     return kernel
 
 
+def chunked_scan(f, init, xs, length, chunk=128):
+    """lax.scan with trip counts kept small via nesting.
+
+    XLA's TPU pipeliner fully unrolls some statically-bounded loops (observed
+    compile times of minutes at trip counts ~200-1500 vs seconds at <=128),
+    so any user-length scan here nests as outer-scan x inner-scan with both
+    trip counts <= max(chunk, ceil(L/chunk)). The tail is padded with extra
+    iterations (valid extra MCMC transitions) and outputs are sliced back to
+    `length` by the caller where needed.
+
+    f: (carry, x) -> (carry, y). xs: pytree with leading dim `length` or
+    None. Returns (carry, ys) with ys leading dim >= length (padded).
+    """
+    if length <= chunk:
+        return jax.lax.scan(f, init, xs, length=length)
+    n_outer = -(-length // chunk)
+    pad = n_outer * chunk - length
+
+    def pad_leaf(a):
+        reps = jnp.concatenate([a, a[:pad]], axis=0) if pad else a
+        return reps.reshape((n_outer, chunk) + a.shape[1:])
+
+    xs_c = None if xs is None else jax.tree.map(pad_leaf, xs)
+
+    def outer(carry, x_chunk):
+        return jax.lax.scan(f, carry, x_chunk, length=chunk)
+
+    carry, ys = jax.lax.scan(outer, init, xs_c, length=n_outer)
+    ys = jax.tree.map(
+        lambda a: a.reshape((n_outer * chunk,) + a.shape[2:]), ys
+    )
+    return carry, ys
+
+
 class HMCResult(NamedTuple):
     samples: jnp.ndarray        # (num_samples, chains, dim)
     log_probs: jnp.ndarray      # (num_samples, chains)
@@ -217,10 +251,11 @@ def run_hmc(key, logprob_fn, init_position, num_samples, num_warmup=500,
     if num_warmup > 0:
         k_warm, key = jax.random.split(key)
         warm_keys = jax.random.split(k_warm, num_warmup)
-        (state, da_state, _, inv_mass_diag), _ = jax.lax.scan(
+        (state, da_state, _, inv_mass_diag), _ = chunked_scan(
             warmup_step,
             (state, da_state, wf_state, inv_mass_diag),
             (warm_keys, in_window, window_end),
+            length=num_warmup,
         )
         eps_final = da_step_size(da_state, averaged=True)
     else:
@@ -253,13 +288,17 @@ def run_hmc(key, logprob_fn, init_position, num_samples, num_warmup=500,
         )
 
     sample_keys = jax.random.split(key, num_samples)
-    (state, acc_sum), (samples, log_probs) = jax.lax.scan(
-        outer, (state, jnp.zeros((), dtype)), sample_keys
+    (state, acc_sum), (samples, log_probs) = chunked_scan(
+        outer, (state, jnp.zeros((), dtype)), sample_keys,
+        length=num_samples,
     )
+    n_run = samples.shape[0]  # includes chunk padding (extra transitions)
+    samples = samples[:num_samples]
+    log_probs = log_probs[:num_samples]
     return HMCResult(
         samples=samples,
         log_probs=log_probs,
-        accept_rate=acc_sum / num_samples,
+        accept_rate=acc_sum / n_run,
         step_size=eps_final,
         inv_mass_diag=inv_mass_diag,
         final_state=state,

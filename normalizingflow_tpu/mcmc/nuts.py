@@ -30,6 +30,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .hmc import chunked_scan
 from .adaptation import (
     da_init,
     da_step_size,
@@ -364,10 +365,11 @@ def run_nuts(key, logprob_fn, init_position, num_samples, num_warmup=500,
 
     if num_warmup > 0:
         k_warm, key = jax.random.split(key)
-        (state, da_state, _, inv_mass_diag), _ = jax.lax.scan(
+        (state, da_state, _, inv_mass_diag), _ = chunked_scan(
             warmup_step,
             (state, da_state, wf_state, inv_mass_diag),
             (jax.random.split(k_warm, num_warmup), in_window, window_end),
+            length=num_warmup,
         )
         eps_final = da_step_size(da_state, averaged=True)
     else:
@@ -386,13 +388,16 @@ def run_nuts(key, logprob_fn, init_position, num_samples, num_warmup=500,
             div + jnp.mean(info.diverged.astype(dtype)),
         ), (state.position, state.log_prob)
 
-    (state, acc, dep, div), (samples, log_probs) = jax.lax.scan(
+    (state, acc, dep, div), (samples, log_probs) = chunked_scan(
         sample_step,
         (state, jnp.zeros((), dtype), jnp.zeros((), dtype),
          jnp.zeros((), dtype)),
         jax.random.split(key, num_samples),
+        length=num_samples,
     )
-    n = float(num_samples)
+    n = float(samples.shape[0])
+    samples = samples[:num_samples]
+    log_probs = log_probs[:num_samples]
     return NUTSResult(
         samples=samples,
         log_probs=log_probs,

@@ -61,7 +61,8 @@ class LennardJones(Target):
     """
 
     def __init__(self, n_particles, boxlength, point_dim=3, epsilon=1.0,
-                 sigma=1.0, cutoff=None, shift=True, kT=1.0):
+                 sigma=1.0, cutoff=None, shift=True, kT=1.0, pos_dir=None,
+                 data_type="xyz"):
         self.n_particles = int(n_particles)
         self.point_dim = int(point_dim)
         self.dim = self.n_particles * self.point_dim
@@ -71,6 +72,13 @@ class LennardJones(Target):
         self.cutoff = None if cutoff is None else float(cutoff)
         self.shift = bool(shift)
         self.kT = float(kT)
+        self.data_type = data_type
+        if pos_dir:
+            from .dataset import TrajectoryDataset
+
+            self.dataset = TrajectoryDataset(pos_dir, data_type)
+        else:
+            self.dataset = None
 
     def _energy_single(self, flat):
         pos = flat.reshape(self.n_particles, self.point_dim)
@@ -85,3 +93,21 @@ class LennardJones(Target):
 
     def log_prob(self, x):
         return -self.potential(x) / self.kT
+
+    # -- dataset attachment (the reference's LJ(SimData) hybrid,
+    #    systems.py:144-152): sample() draws from an MD trajectory ----------
+    def sample(self, key, nsamples, **kw):
+        if self.dataset is None:
+            raise ValueError(
+                "LennardJones has no attached trajectory data; generate one "
+                "with apps.sample_data or pass pos_dir"
+            )
+        return self.dataset.sample(key, nsamples, **kw)
+
+    def update_data(self, path=None, **kw):
+        from .dataset import TrajectoryDataset
+
+        if self.dataset is None:
+            self.dataset = TrajectoryDataset(path, self.data_type)
+        else:
+            self.dataset.update_data(path, **kw)

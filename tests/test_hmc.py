@@ -89,3 +89,22 @@ def test_hmc_rejects_divergent_proposals():
     )
     assert np.all(np.isfinite(np.asarray(res.samples)))
     assert float(res.accept_rate) < 0.05
+
+
+def test_chunked_scan_matches_plain_scan():
+    from normalizingflow_tpu.mcmc.hmc import chunked_scan
+
+    def f(c, x):
+        c = c * 0.9 + x
+        return c, c
+
+    xs = jnp.arange(300, dtype=jnp.float32)
+    c_ref, ys_ref = jax.lax.scan(f, jnp.zeros(()), xs)
+    c_chk, ys_chk = chunked_scan(f, jnp.zeros(()), xs, length=300, chunk=128)
+    # carry advances through padded extra steps; outputs match on [0, 300)
+    np.testing.assert_allclose(np.asarray(ys_chk[:300]), np.asarray(ys_ref),
+                               rtol=1e-6)
+    # short case: exact passthrough
+    c2, ys2 = chunked_scan(f, jnp.zeros(()), xs[:100], length=100, chunk=128)
+    np.testing.assert_allclose(np.asarray(ys2), np.asarray(ys_ref[:100]),
+                               rtol=1e-6)
