@@ -32,6 +32,7 @@ from .bijectors import (
     MaskedAffineAR,
     Planar,
     Radial,
+    Repeat,
     SplineAR,
     SplineCoupling,
 )
@@ -227,10 +228,21 @@ def build_flow_stack(cfg: Config, b: float):
     """Flow registry: setup.py:55-62's construction without eval()."""
     fc = cfg.flow
     n = cfg.dataset.nparticles * cfg.dataset.dim
+    # Deep homogeneous stacks compile as ONE scanned layer body (Repeat)
+    # instead of an unrolled Chain -- compile time O(1) in depth.
     if fc.type == "RealNVP":
+        if fc.nlayers >= 4:
+            return Repeat(AffineCoupling(n, hidden_dim=fc.hidden_dim),
+                          fc.nlayers)
         layers = [AffineCoupling(n, hidden_dim=fc.hidden_dim)
                   for _ in range(fc.nlayers)]
     elif fc.type == "NSF_AR":
+        if fc.nlayers >= 4:
+            return Repeat(
+                SplineAR(n, num_bins=fc.nsplines, tail_bound=b,
+                         hidden_dim=fc.hidden_dim, periodic=fc.periodic),
+                fc.nlayers,
+            )
         layers = [
             SplineAR(n, num_bins=fc.nsplines, tail_bound=b,
                      hidden_dim=fc.hidden_dim, periodic=fc.periodic)

@@ -33,7 +33,18 @@ def save_checkpoint(path, state):
 
 
 def load_checkpoint(path, template):
-    """Restore a pytree with the same structure as `template`."""
+    """Restore a pytree with the same structure as `template`.
+
+    Leaves come back as jax arrays (not numpy): traced indexing --
+    e.g. the autoregressive inverse scan gathering per-dim weights --
+    requires device arrays.
+    """
     with open(path, "rb") as fh:
         data = fh.read()
-    return serialization.from_bytes(template, data)
+    restored = serialization.from_bytes(template, data)
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a,
+        restored,
+    )

@@ -36,7 +36,12 @@ def test_config_parses_and_builds(path):
             cfg.prior.type, cfg.prior, cfg.dataset, boxlength=boxlength
         )
         chain = C.build_flow_stack(cfg, b)
-        assert prior is not None and len(chain.bijectors) > 0
+        from normalizingflow_tpu.bijectors import Chain, Repeat
+
+        assert prior is not None
+        assert (isinstance(chain, Repeat) and chain.n > 0) or (
+            isinstance(chain, Chain) and len(chain.bijectors) > 0
+        )
     else:
         flow, potential, cfg2 = setup_model(cfg)
         # one forward pass through the built model
@@ -114,3 +119,30 @@ def test_sample_data_app(tmp_path):
     assert gen_main([str(cfg_path), "128"]) == 0
     train = np.load(tmp_path / "lj_train.npy")
     assert train.shape[1] == 96 and np.all(np.isfinite(train))
+
+
+def test_checkpoint_restores_jax_arrays(tmp_path):
+    """Restored params must be device arrays: numpy leaves break traced
+    indexing in the AR inverse scan (regression from the LJ E2E run)."""
+    import jax.numpy as jnp
+
+    from normalizingflow_tpu import NormalizingFlow, bijectors, distributions
+    from normalizingflow_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    flow = NormalizingFlow(
+        distributions.DiagNormal(4),
+        bijectors.Chain([bijectors.SplineAR(4, num_bins=4, hidden_dim=8)]),
+    )
+    params = flow.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "ck.msgpack")
+    save_checkpoint(path, {"params": params})
+    restored = load_checkpoint(path, {"params": params})["params"]
+    assert all(
+        isinstance(leaf, jnp.ndarray) for leaf in jax.tree.leaves(restored)
+    )
+    # the failing path: sampling (inverse scan) with restored params
+    x, log_px, _ = flow.sample(restored, jax.random.PRNGKey(1), 8)
+    assert np.all(np.isfinite(np.asarray(x)))
