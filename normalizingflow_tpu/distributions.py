@@ -25,6 +25,11 @@ import jax
 import jax.numpy as jnp
 
 
+def _autograd_force(obj, x):
+    """-d potential/dx via autodiff (reference: systems.py:303-311)."""
+    return -jax.grad(lambda y: jnp.sum(obj.potential(y)))(x)
+
+
 def _gaussian_log_prob(dev, var):
     """Sum of independent N(0, var) log-densities over the last axis."""
     d = dev.shape[-1]
@@ -93,6 +98,9 @@ class GaussianMixture:
     def potential(self, x):
         return -self.log_prob(x)
 
+    def force(self, x):
+        return _autograd_force(self, x)
+
 
 class EinsteinCrystal:
     """Gaussian wells of stiffness `alpha` around lattice sites.
@@ -129,3 +137,6 @@ class EinsteinCrystal:
 
     def potential(self, x):
         return -self.log_prob(x)
+
+    def force(self, x):
+        return _autograd_force(self, x)

@@ -1,0 +1,106 @@
+"""Flow-seeded relaxation / hybrid data collection / diagnostics tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from normalizingflow_tpu import NormalizingFlow, bijectors, distributions
+from normalizingflow_tpu.mcmc.relaxation import (
+    collect_hmc_data,
+    integrate_out_v,
+    metropolize,
+    relaxation_step,
+)
+from normalizingflow_tpu.train.diagnostics import (
+    force_matching,
+    held_out_logprob_gap,
+)
+
+
+def _flow_and_target(dim=4):
+    target = distributions.GaussianMixture(
+        centers=[[0.0] * dim], vars=[1.0], npoints=1, point_dim=dim
+    )
+    flow = NormalizingFlow(
+        distributions.DiagNormal(dim),
+        bijectors.Chain([bijectors.ActNorm(dim)]),
+    )
+    params = flow.init(jax.random.PRNGKey(0))
+    return flow, params, target
+
+
+def test_collect_hmc_data_shapes_and_acceptance():
+    flow, params, target = _flow_and_target()
+    data, acc = collect_hmc_data(
+        jax.random.PRNGKey(1), flow, params, target, n_chains=4,
+        n_steps=200, burnin=50, step_size=0.3, num_leapfrog=5,
+    )
+    assert data.shape == (150 * 4, 4)
+    assert 0.3 < float(acc) <= 1.0
+    # relaxed data should look like the target (std ~ 1)
+    assert 0.7 < float(jnp.std(data)) < 1.3
+
+
+def test_relaxation_step_lowers_energy():
+    flow, params, target = _flow_and_target()
+    # start frames far from the mode: relaxation must reduce energy
+    traj = 3.0 + jax.random.normal(jax.random.PRNGKey(2), (8, 4))
+    # cold momenta (soft_factor << 1): near-pure gradient descent relaxes.
+    # (The reference's init_beta=beta/1000 draws HOT momenta -- dynamics.py:15
+    # -- which heats a frame this far from the mode.)
+    res = relaxation_step(
+        jax.random.PRNGKey(3), flow, params, target, traj, kT=1.0,
+        path_len=20, step_size=0.05, soft_factor=0.01,
+    )
+    # q_energy = -U/kT: higher is lower energy
+    assert float(jnp.mean(res.q_energy)) > float(
+        jnp.mean(res.q_energy_before)
+    )
+    assert res.positions.shape == traj.shape
+    assert np.all(np.isfinite(np.asarray(res.q_learned)))
+
+
+def test_integrate_out_v_close_to_direct_logp_for_identity_dynamics():
+    flow, params, target = _flow_and_target()
+    frames = jax.random.normal(jax.random.PRNGKey(4), (6, 4))
+    # tiny step size ~ no movement: marginalized logp ~ direct logp
+    lp_marg = integrate_out_v(
+        jax.random.PRNGKey(5), flow, params, target, frames, npoints=8,
+        path_len=2, step_size=1e-4,
+    )
+    lp_direct = flow.log_prob(params, frames)
+    np.testing.assert_allclose(
+        np.asarray(lp_marg), np.asarray(lp_direct), atol=0.05
+    )
+
+
+def test_metropolize_filters_high_energy():
+    _, _, target = _flow_and_target()
+    good = jax.random.normal(jax.random.PRNGKey(6), (200, 4))
+    bad = 10.0 + jax.random.normal(jax.random.PRNGKey(7), (200, 4))
+    x = jnp.concatenate([good, bad])
+    mask, energies = metropolize(jax.random.PRNGKey(8), target, x, burnin=10)
+    m = np.asarray(mask)
+    # acceptance among the displaced block should be rare
+    assert m[200:].mean() < 0.2
+    assert m[10:200].mean() > 0.2
+
+
+def test_force_matching_zero_for_matched_model():
+    dim = 3
+    target = distributions.GaussianMixture(
+        centers=[[0.0] * dim], vars=[1.0], npoints=1, point_dim=dim
+    )
+    flow = NormalizingFlow(
+        distributions.DiagNormal(dim), bijectors.Chain([])
+    )
+    params = flow.init(jax.random.PRNGKey(9))
+    x = jax.random.normal(jax.random.PRNGKey(10), (32, dim))
+    err = float(force_matching(flow, params, target, x))
+    assert err < 1e-5
+
+    gap = held_out_logprob_gap(
+        flow, params, jax.random.PRNGKey(11),
+        target.sample(jax.random.PRNGKey(12), 500), nsamples=500
+    )
+    assert abs(float(gap[2])) < 0.5
