@@ -80,3 +80,31 @@ def test_ess_iid_and_correlated():
     ess_corr = float(effective_sample_size(jnp.asarray(x)))
     tau_hat = n * m / ess_corr
     assert 10.0 < tau_hat < 30.0, tau_hat
+
+
+def test_fe_diff_no_training_recovers_gaussian_gap():
+    """Prior-only MBAR path (test.py:74-90): prior N(0,1)^d vs target
+    N(0, 0.25)^d has known per-particle Delta f."""
+    from normalizingflow_tpu import NormalizingFlow, bijectors, distributions
+    from normalizingflow_tpu.apps.fe_eval import fe_diff_no_training
+
+    d = 4
+    prior = distributions.DiagNormal(d, var=1.0)
+
+    class T:
+        def potential(self, x):
+            return 0.5 * jnp.sum(x * x, axis=-1) / 0.25
+
+        def sample(self, key, n):
+            return 0.5 * jax.random.normal(key, (n, d))
+
+    flow = NormalizingFlow(prior, bijectors.Chain([]))
+    f = fe_diff_no_training(
+        flow, None, T(), jax.random.PRNGKey(0), 20000, n_particles=1
+    )
+    # Delta f = f1 - f0 = -log(Z1/Z0); with u0 = -log N(0,1) (normalized,
+    # Z0=1) and u1 = x^2/(2*0.25) (unnormalized, Z1=(2 pi 0.25)^{d/2}):
+    import math
+
+    exact = -0.5 * d * math.log(2 * math.pi * 0.25)
+    np.testing.assert_allclose(f[1] - f[0], exact, atol=0.05)
