@@ -32,10 +32,15 @@ from normalizingflow_tpu.train.objectives import reverse_kl
 DIM = 64
 HIDDEN = 128
 LAYERS = 2
+# Tuned on v5e: 8192 chains saturates the chip (16384 regresses -- HBM
+# pressure); 1024 draws amortizes the ~60 ms tunnel dispatch latency; 4
+# leapfrog steps is the shortest trajectory that still yields ESS == total
+# draws (L=3 drops min-ESS to ~60%). Larger draw counts OOM (z + pushed x
+# both live in HBM) for ~2% more throughput.
 CHAINS = 8192
-DRAWS = 128
+DRAWS = 1024
 WARMUP = 100
-LEAPFROG = 6
+LEAPFROG = 4
 TRAIN_STEPS = 15000
 TRAIN_BATCH = 4096
 
@@ -117,42 +122,32 @@ def main():
     jax.block_until_ready(adapt.samples)
     log("adapt done", time.time() - t0)
 
-    # Phase 2: timed sampling-only run with the adapted kernel.
-    def sampling_run(seed):
+    # Phase 2: timed run -- sampling + latent->data push in ONE jit (one
+    # dispatch over the tunnel; the separate push call cost ~60 ms of pure
+    # latency).
+    @jax.jit
+    def sample_and_push(seed, pos):
         res = run_hmc(
-            jax.random.PRNGKey(seed), logprob,
-            adapt.final_state.position, num_samples=DRAWS, num_warmup=0,
+            jax.random.PRNGKey(seed), logprob, pos,
+            num_samples=DRAWS, num_warmup=0,
             step_size=float(adapt.step_size),
             inv_mass_diag=adapt.inv_mass_diag, num_leapfrog=LEAPFROG,
         )
-        return res
+        x, _ = flow.inverse(params, res.samples.reshape(-1, DIM))
+        return x.reshape(res.samples.shape), res.accept_rate
 
-    warm = sampling_run(3)  # compile for the warmup=0 shapes
-    warm.samples.block_until_ready()
+    pos = adapt.final_state.position
+    jax.block_until_ready(sample_and_push(3, pos))  # compile
     log("sampling compiled")
     t0 = time.time()
-    res = sampling_run(4)
-    jax.block_until_ready(res.samples)
+    xs, accept_rate = sample_and_push(4, pos)
+    jax.block_until_ready(xs)
     t_sample = time.time() - t0
 
-    # Map latent draws to data space (part of the pipeline; include in time).
-    @jax.jit
-    def push(zs):
-        flat = zs.reshape(-1, DIM)
-        x, _ = flow.inverse(params, flat)
-        return x.reshape(zs.shape)
-
-    jax.block_until_ready(push(warm.samples))  # compile at the real shape
-    t0 = time.time()
-    xs = push(res.samples)
-    jax.block_until_ready(xs)
-    t_push = time.time() - t0
-
-    log("push done")
     ess = ess_per_dim(xs)
     ess_min = float(jnp.min(ess))
     ess_med = float(jnp.median(ess))
-    total_time = t_sample + t_push
+    total_time = t_sample
     ess_per_s = ess_min / total_time
 
     log("ess done")
@@ -178,10 +173,9 @@ def main():
             "chains": CHAINS,
             "draws": DRAWS,
             "sample_s": round(t_sample, 3),
-            "push_s": round(t_push, 3),
             "train_s": round(t_train, 1),
             "final_reverse_kl": round(final_kl, 3),
-            "accept": round(float(res.accept_rate), 3),
+            "accept": round(float(accept_rate), 3),
             "fwd_logdet_us_batch8192": round(fwd_us, 1),
             "device": str(jax.devices()[0]),
         },

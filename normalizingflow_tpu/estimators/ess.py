@@ -51,11 +51,22 @@ def effective_sample_size(x):
     return jnp.minimum(n * m / tau, n * m * 1.0)
 
 
-def ess_per_dim(samples):
-    """samples: (draws, chains, dim) -> (dim,) ESS per coordinate."""
-    return jax.vmap(lambda d: effective_sample_size(samples[:, :, d]))(
-        jnp.arange(samples.shape[-1])
-    )
+def ess_per_dim(samples, dim_chunk=8):
+    """samples: (draws, chains, dim) -> (dim,) ESS per coordinate.
+
+    The FFT autocovariance materializes complex buffers of the full sample
+    block; vmapping it over every coordinate at once OOMs at large
+    chains*draws (e.g. 16k chains x 512 draws on a 16 GB chip), so map in
+    chunks of `dim_chunk` coordinates instead -- peak memory scales with
+    draws*chains*dim_chunk, not draws*chains*dim.
+    """
+    dim = samples.shape[-1]
+    dim_chunk = min(dim_chunk, dim)
+    pad = (-dim) % dim_chunk
+    idx = jnp.concatenate([jnp.arange(dim), jnp.zeros(pad, jnp.int32)])
+    f = lambda d: effective_sample_size(samples[:, :, d])
+    out = jax.lax.map(jax.vmap(f), idx.reshape(-1, dim_chunk)).reshape(-1)
+    return out[:dim]
 
 
 def min_ess(samples):
