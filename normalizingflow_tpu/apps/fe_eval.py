@@ -48,16 +48,34 @@ def evaluate(flow, params, x, batchsize=500):
 
 
 def fe_diff(flow, params, potential, key, nsamples, n_particles, kT=1.0,
-            plot_path=None):
+            plot_path=None, relaxation=False, relaxation_kwargs=None):
     """Free-energy difference between the flow model and the physical system.
 
     Returns dict with 'bar', 'md' (forward Zwanzig), 'nf' (reverse Zwanzig),
     'emus' (MBAR) estimates, per particle, in kT units, plus the Q matrices.
+
+    relaxation=True follows the reference's default path (test.py:35-48):
+    each flow sample is relaxed by a short soft-momentum HMC trajectory on
+    the target before its energy enters the work matrix, and the flow
+    log-density of the relaxed frame is computed with the relaxation
+    momentum marginalized out (dynamics.integrate_out_v). Without it, the
+    occasional flow sample with overlapping particles contributes an
+    astronomically positive U that wrecks the exponential-averaging
+    estimators (exactly the failure the reference's relaxation exists for).
     """
-    k_gen, k_data = jax.random.split(key)
+    k_gen, k_data, k_relax = jax.random.split(key, 3)
     # state 0 = flow ensemble
     x0, q00 = generate_from_nf(flow, params, k_gen, nsamples)
-    q01 = -potential.potential(x0) / kT
+    if relaxation:
+        from ..mcmc.relaxation import relaxation_step
+
+        relax = relaxation_step(
+            k_relax, flow, params, potential, x0, kT=kT,
+            **(relaxation_kwargs or {}),
+        )
+        x0, q00, q01 = relax.positions, relax.q_learned, relax.q_energy
+    else:
+        q01 = -potential.potential(x0) / kT
     # state 1 = MD/data ensemble
     x1 = potential.sample(k_data, nsamples)
     x1 = x1.reshape(len(x1), -1)

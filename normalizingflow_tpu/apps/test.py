@@ -34,12 +34,16 @@ def main(argv=None):
     cfg = load_config(argv[0])
     flow, params, potential, cfg = load_trained(cfg)
     os.makedirs(cfg.output.testing_dir, exist_ok=True)
+    # relaxation=True is the reference's default for particle systems
+    # (test.py:98); analytic low-dim targets don't need it.
+    relaxation = cfg.dataset.potential in ("LJ", "Fe", "EAM")
     out = fe_diff(
         flow, params, potential, jax.random.PRNGKey(cfg.seed + 1),
         nsamples=500, n_particles=cfg.dataset.nparticles, kT=cfg.dataset.kT,
         plot_path=os.path.join(
             cfg.output.testing_dir, f"Q_{cfg.dataset.name}.png"
         ),
+        relaxation=relaxation,
     )
     print(
         f"bar={out['bar']:.6f} md={out['md']:.6f} nf={out['nf']:.6f} "

@@ -236,6 +236,25 @@ def set_fused_rqs(enabled):
     _FUSED_ENABLED = bool(enabled)
 
 
+def _under_vmap(*arrays):
+    """True when any input is being traced by an outer jax.vmap.
+
+    vmap of a pallas_call prepends a grid dimension with block size 1,
+    which violates the TPU (8, 128) tiling rule for our 1-D row blocks --
+    so under vmap the jnp lowering (which XLA fuses fine) is used instead.
+    Callers wanting the fused kernel should reshape the batch into rows
+    rather than vmap (e.g. mcmc/relaxation.integrate_out_v).
+    """
+    try:
+        from jax._src.interpreters.batching import BatchTracer
+    except ImportError:  # pragma: no cover - jax internals moved
+        try:
+            from jax.interpreters.batching import BatchTracer
+        except ImportError:
+            return False
+    return any(isinstance(a, BatchTracer) for a in arrays)
+
+
 def apply_rqs(inputs, w, h, d, *, inverse=False, tail_bound=None, left=None,
               right=None, bottom=None, top=None):
     """unconstrained_rqs with automatic Pallas acceleration on TPU."""
@@ -251,6 +270,7 @@ def apply_rqs(inputs, w, h, d, *, inverse=False, tail_bound=None, left=None,
         _FUSED_ENABLED
         and n >= _FUSED_MIN_ELEMENTS
         and jax.default_backend() == "tpu"
+        and not _under_vmap(inputs, w, h, d)
     ):
         from ..ops.rqs_pallas import unconstrained_rqs_fused
 

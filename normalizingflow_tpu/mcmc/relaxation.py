@@ -127,9 +127,9 @@ def integrate_out_v(key, flow, params, target, frames, kT=1.0, npoints=10,
 
     ps = jax.random.normal(key, (npoints, n, dim)) * jnp.sqrt(1.0 / beta)
     ends = jax.vmap(lambda p: jax.vmap(endpoint)(frames, p))(ps)
-    lps = jax.vmap(
-        lambda xs: flow.log_prob(params, xs)
-    )(ends.reshape(npoints, n, dim))
+    # One flat batch (not vmap) so the flow's fused RQS Pallas path applies.
+    lps = flow.log_prob(params, ends.reshape(npoints * n, dim))
+    lps = lps.reshape(npoints, n)
     return jax.scipy.special.logsumexp(lps, axis=0) - jnp.log(npoints)
 
 

@@ -168,6 +168,6 @@ class EAMIron(Target):
 
     def update_data(self, path=None, **kw):
         if self.dataset is None:
-            self.dataset = TrajectoryDataset(path)
+            self.dataset = TrajectoryDataset(path, data=kw.get("data"))
         else:
             self.dataset.update_data(path, **kw)

@@ -108,6 +108,8 @@ class LennardJones(Target):
         from .dataset import TrajectoryDataset
 
         if self.dataset is None:
-            self.dataset = TrajectoryDataset(path, self.data_type)
+            self.dataset = TrajectoryDataset(
+                path, self.data_type, data=kw.get("data")
+            )
         else:
             self.dataset.update_data(path, **kw)

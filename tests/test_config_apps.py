@@ -146,3 +146,22 @@ def test_checkpoint_restores_jax_arrays(tmp_path):
     # the failing path: sampling (inverse scan) with restored params
     x, log_px, _ = flow.sample(restored, jax.random.PRNGKey(1), 8)
     assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_lj_update_data_kwarg_attaches_dataset():
+    """update_data(data=...) must attach a dataset even when none exists yet
+    (regression: the data kwarg was dropped on first attach)."""
+    import numpy as np
+
+    from normalizingflow_tpu.targets.eam import EAMIron
+    from normalizingflow_tpu.targets.lj import LennardJones
+
+    frames = np.random.default_rng(0).uniform(0, 4.0, (10, 24))
+    lj = LennardJones(8, 4.0)
+    lj.update_data(data=frames)
+    out = lj.sample(jax.random.PRNGKey(0), 4)
+    assert out.shape == (4, 24)
+
+    fe = EAMIron(8, boxlength=4.0)
+    fe.update_data(data=frames)
+    assert fe.sample(jax.random.PRNGKey(0), 3).shape == (3, 24)

@@ -83,3 +83,40 @@ def test_fused_gradients_match_reference():
     for a, b in zip(g_f, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
                                    rtol=2e-4)
+
+
+def test_under_vmap_detection():
+    """apply_rqs must not route vmap-traced inputs to the Pallas kernel:
+    vmap of the pallas_call prepends a block-size-1 grid dim that violates
+    the TPU (8, 128) tiling rule (seen live via vmapped flow.log_prob in
+    integrate_out_v). _under_vmap is the guard."""
+    from normalizingflow_tpu.bijectors.rqs import _under_vmap
+
+    x = jnp.linspace(-1.0, 1.0, 16, dtype=jnp.float32)
+    assert not _under_vmap(x)
+
+    seen = []
+
+    def f(row):
+        seen.append(_under_vmap(row))
+        return row * 2.0
+
+    jax.vmap(f)(x.reshape(4, 4))
+    assert seen == [True]
+
+
+def test_apply_rqs_under_vmap_matches_direct():
+    """vmapping apply_rqs over a leading batch equals the flat call."""
+    from normalizingflow_tpu.bijectors.rqs import apply_rqs
+
+    key = jax.random.PRNGKey(5)
+    x = jax.random.uniform(key, (6, 128), jnp.float32, -2.5, 2.5)
+    w, h, d = _params(jax.random.PRNGKey(6), x.shape)
+    y_flat, ld_flat = apply_rqs(x, w, h, d, tail_bound=B)
+    y_v, ld_v = jax.vmap(
+        lambda xi, wi, hi, di: apply_rqs(xi, wi, hi, di, tail_bound=B)
+    )(x, w, h, d)
+    np.testing.assert_allclose(np.asarray(y_v), np.asarray(y_flat),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld_v), np.asarray(ld_flat),
+                               atol=1e-6)
