@@ -1,11 +1,16 @@
 """Polymer field-theory experiment CLI -- counterpart of
 /root/reference/applications/examples/polymer.py:8-44.
 
-`python -m normalizingflow_tpu.apps.polymer <config.yaml> {training|testing}`
+`python -m normalizingflow_tpu.apps.polymer <config.yaml>
+{data|training|testing} [nframes]`
 
 RealNVP (or NSF_AR) on flattened 2x32x32 polymer field configurations;
 testing generates fields, saves them as .npy, and compares generated vs
 held-out log-density.
+
+The reference's SCFT field datasets are not shipped with it; `data` mode
+writes exactly-sampled massive-GFF surrogate fields (targets/gff.py) to the
+config's training/testing paths so the whole pipeline runs self-contained.
 """
 
 from __future__ import annotations
@@ -23,7 +28,18 @@ from .test import load_trained
 from .train import main as train_main
 
 
-def save_field(cfg, x, shape=(2, 32, 32)):
+def field_shape(cfg):
+    """(channels, L, L) from the config (2048-dim default -> 2x32x32)."""
+    ds = cfg.dataset
+    n = ds.nparticles * ds.dim
+    L = int(round((n / ds.channels) ** 0.5))
+    if ds.channels * L * L != n:
+        raise ValueError(f"dataset dim {n} is not channels x L x L")
+    return (ds.channels, L, L)
+
+
+def save_field(cfg, x, shape=None):
+    shape = shape or field_shape(cfg)
     x = np.asarray(x).reshape((-1,) + shape)
     os.makedirs(cfg.output.testing_dir, exist_ok=True)
     path = os.path.join(cfg.output.testing_dir, "generated_fields.npy")
@@ -45,12 +61,44 @@ def plot_field(x, outdir=".", shape=(2, 32, 32)):
         plt.close()
 
 
+def generate_data(cfg, nframes=2000, seed=0):
+    """Write surrogate GFF train/test fields to the config's data paths."""
+    from ..targets.gff import GaussianField
+
+    ds = cfg.dataset
+    _, L, _ = field_shape(cfg)
+    gff = GaussianField(
+        L=L, channels=ds.channels,
+        mass=ds.mass if ds.mass is not None else (0.5, 1.0),
+    )
+    fields = np.asarray(
+        gff.sample(jax.random.PRNGKey(seed), nframes)
+    )
+    n_train = int(0.8 * nframes)
+    for path, arr in ((ds.training_data, fields[:n_train]),
+                      (ds.testing_data, fields[n_train:])):
+        if path is None:
+            continue
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        np.save(path, arr)
+    print(f"wrote {n_train} train + {nframes - n_train} test GFF fields "
+          f"(exact logp {float(jnp.mean(gff.log_prob(fields[:64]))):.2f}) "
+          f"-> {ds.training_data}, {ds.testing_data}")
+    return 0
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
-    if len(argv) < 2 or argv[1] not in ("training", "testing"):
+    if len(argv) < 2 or argv[1] not in ("data", "training", "testing"):
         print("usage: python -m normalizingflow_tpu.apps.polymer "
-              "<config.yaml> {training|testing}", file=sys.stderr)
+              "<config.yaml> {data|training|testing} [nframes]",
+              file=sys.stderr)
         return 2
+    if argv[1] == "data":
+        cfg = load_config(argv[0])
+        return generate_data(
+            cfg, nframes=int(argv[2]) if len(argv) > 2 else 2000
+        )
     if argv[1] == "training":
         return train_main([argv[0]])
 

@@ -74,6 +74,9 @@ class DatasetConfig:
     L: int = 8
     kappa: float = 0.3
     lam: float = 0.022
+    # GaussianField (polymer-surrogate GFF)
+    channels: int = 2
+    mass: Any = None
 
 
 @dataclass
@@ -218,6 +221,13 @@ def build_potential(name, cfg_section, ds: DatasetConfig, boxlength=None):
         return TrajectoryDataset(ds.data, data_type=ds.type)
     if name == "Phi4":
         return Phi4Lattice(L=ds.L, kappa=ds.kappa, lam=ds.lam)
+    if name == "GaussianField":
+        from .targets.gff import GaussianField
+
+        return GaussianField(
+            L=ds.L, channels=ds.channels,
+            mass=ds.mass if ds.mass is not None else (0.5, 1.0),
+        )
     raise KeyError(f"unknown potential {name!r}")
 
 
