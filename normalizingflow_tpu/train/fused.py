@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from .checkpoint import save_checkpoint
+from .checkpoint import load_checkpoint, save_checkpoint
 from .loop import make_optimizer
 from .objectives import forward_kl_loss
 
@@ -39,16 +39,41 @@ logger = logging.getLogger("normalizingflow_tpu.train")
 def train_flow_fused(flow, key, data_source, *, max_epochs=4000,
                      batch_size=100, learning_rate=1e-4,
                      scheduler="exponential", gamma=0.999, output_freq=100,
-                     checkpoint_path=None, init_params=None, chunk=500):
+                     checkpoint_path=None, init_params=None, chunk=500,
+                     resume_from=None):
     """Forward-KL training with on-device step loops.
 
     Returns (params, history) like train_flow. `chunk` steps run per jit
     dispatch (clamped to >= 400 unless the whole run is shorter).
+
+    `resume_from`: path of a `.last` checkpoint written by a previous run;
+    restores params, optimizer state, PRNG key, and epoch, continuing the
+    run bit-exact (per-step minibatch keys are fold_in(key, absolute_step),
+    so the data stream is position-, not session-, dependent). The reference
+    has no resume path at all (SURVEY.md §5).
     """
     k_init, key = jax.random.split(key)
     params = init_params if init_params is not None else flow.init(k_init)
     optimizer = make_optimizer(learning_rate, scheduler, gamma, max_epochs)
     opt_state = optimizer.init(params)
+
+    start_epoch = 0
+    losses = []
+    best_logprob = -np.inf
+    if resume_from:
+        template = {"params": params, "opt_state": opt_state, "key": key,
+                    "epoch": np.asarray(0),
+                    "losses": np.zeros(0, np.float32)}
+        state = load_checkpoint(resume_from, template)
+        params, opt_state = state["params"], state["opt_state"]
+        key = state["key"]
+        start_epoch = int(state["epoch"])
+        losses = [float(l) for l in np.asarray(state["losses"])]
+        # Reported logprob is exactly -loss for forward KL, so the best-model
+        # gate continues from the restored loss history.
+        if losses:
+            best_logprob = max(-l for l in losses)
+        logger.info("resumed from %s at epoch %d", resume_from, start_epoch)
 
     traj = getattr(data_source, "traj", None)
     if traj is not None:
@@ -86,10 +111,8 @@ def train_flow_fused(flow, key, data_source, *, max_epochs=4000,
         means = jax.tree.map(lambda s: s / n_steps, sums)
         return params, opt_state, last, means
 
-    losses = []
-    best_logprob = -np.inf
     t0 = time.time()
-    bounds = list(range(0, max_epochs, chunk))
+    bounds = list(range(start_epoch, max_epochs, chunk))
     for c, start in enumerate(bounds):
         n_steps = min(chunk, max_epochs - start)
         params, opt_state, last, means = run_chunk(
@@ -97,7 +120,7 @@ def train_flow_fused(flow, key, data_source, *, max_epochs=4000,
         )
         epoch = start + n_steps
         losses.append(float(means["loss"]))
-        rate = epoch / (time.time() - t0)
+        rate = (epoch - start_epoch) / (time.time() - t0)
         logger.info(
             "Iter: %d\tLoss: %.2f\tLogprob: %.2f\tPrior: %.2f\t"
             "LogDet: %.2f\t(%.0f steps/s)",
@@ -114,5 +137,5 @@ def train_flow_fused(flow, key, data_source, *, max_epochs=4000,
                 best_logprob = logprob
                 save_checkpoint(checkpoint_path, state)
     history = {"losses": np.asarray(losses), "best_logprob": best_logprob,
-               "steps_per_s": max_epochs / (time.time() - t0)}
+               "steps_per_s": (max_epochs - start_epoch) / (time.time() - t0)}
     return params, history
