@@ -19,6 +19,16 @@ Usage:
                                          # numbers are NOT meaningful)
 
 Prints one JSON line per mesh size plus a final summary line.
+
+LIMITATION (single-host harness): the 1-device baseline builds
+Mesh(jax.devices()[:1]) from the global device list. Under multi-controller
+jit on a real multi-host pod slice, a mesh that excludes other processes'
+devices is invalid -- every process must participate in every computation.
+To measure a multi-host baseline, run this harness once per slice size
+(e.g. a v5e-8 run and a v5e-16 run) and divide the throughput lines, or
+derive the baseline from a per-host subset mesh spanning all processes
+(one device per host). As written, the in-process 1-vs-N comparison is
+single-host only.
 """
 
 import json

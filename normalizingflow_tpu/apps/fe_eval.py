@@ -26,12 +26,17 @@ from ..estimators.zwanzig import zwanzig
 
 
 def generate_from_nf(flow, params, key, nsamples, batchsize=500):
-    """Flow samples + their model log-densities, (nsamples, dim)."""
+    """Flow samples + their model log-densities, (nsamples, dim).
+
+    Ceil-divides into fixed-size batches (one compiled program) and trims,
+    so any requested nsamples is honored exactly -- the reference floors
+    (test.py:14) and silently under-delivers for non-multiples.
+    """
     sample = jax.jit(
         lambda k: flow.sample(params, k, batchsize), static_argnums=()
     )
     xs, lps = [], []
-    for i in range(max(nsamples // batchsize, 1)):
+    for i in range(-(-nsamples // batchsize)):
         x, log_px, _ = sample(jax.random.fold_in(key, i))
         xs.append(x)
         lps.append(log_px)
@@ -39,10 +44,11 @@ def generate_from_nf(flow, params, key, nsamples, batchsize=500):
 
 
 def evaluate(flow, params, x, batchsize=500):
+    """Flow log-density of every row of x, batched; exact length len(x)."""
     lp = jax.jit(lambda xb: flow.log_prob(params, xb))
     outs = [
         lp(x[i * batchsize : (i + 1) * batchsize])
-        for i in range(max(len(x) // batchsize, 1))
+        for i in range(-(-len(x) // batchsize))
     ]
     return jnp.concatenate(outs)[: len(x)]
 
@@ -55,22 +61,24 @@ def fe_diff(flow, params, potential, key, nsamples, n_particles, kT=1.0,
     'emus' (MBAR) estimates, per particle, in kT units, plus the Q matrices.
 
     relaxation=True follows the reference's default path (test.py:35-48):
-    each flow sample is relaxed by a short soft-momentum HMC trajectory on
-    the target before its energy enters the work matrix, and the flow
-    log-density of the relaxed frame is computed with the relaxation
-    momentum marginalized out (dynamics.integrate_out_v). Without it, the
+    BOTH ensembles are relaxed by a short soft-momentum HMC trajectory on
+    the target before their energies enter the work matrix, and the flow
+    log-density of each relaxed frame is computed with the relaxation
+    momentum marginalized out (dynamics.integrate_out_v) -- so u0(x) is the
+    same density function for both Q columns (test.py:36 and test.py:41-42
+    call the identical relaxation_step on traj0 and traj1). Without it, the
     occasional flow sample with overlapping particles contributes an
     astronomically positive U that wrecks the exponential-averaging
     estimators (exactly the failure the reference's relaxation exists for).
     """
-    k_gen, k_data, k_relax = jax.random.split(key, 3)
+    k_gen, k_data, k_relax0, k_relax1 = jax.random.split(key, 4)
+    if relaxation:
+        from ..mcmc.relaxation import relaxation_step
     # state 0 = flow ensemble
     x0, q00 = generate_from_nf(flow, params, k_gen, nsamples)
     if relaxation:
-        from ..mcmc.relaxation import relaxation_step
-
         relax = relaxation_step(
-            k_relax, flow, params, potential, x0, kT=kT,
+            k_relax0, flow, params, potential, x0, kT=kT,
             **(relaxation_kwargs or {}),
         )
         x0, q00, q01 = relax.positions, relax.q_learned, relax.q_energy
@@ -79,8 +87,15 @@ def fe_diff(flow, params, potential, key, nsamples, n_particles, kT=1.0,
     # state 1 = MD/data ensemble
     x1 = potential.sample(k_data, nsamples)
     x1 = x1.reshape(len(x1), -1)
-    q10 = evaluate(flow, params, x1)
-    q11 = -potential.potential(x1) / kT
+    if relaxation:
+        relax1 = relaxation_step(
+            k_relax1, flow, params, potential, x1, kT=kT,
+            **(relaxation_kwargs or {}),
+        )
+        x1, q10, q11 = relax1.positions, relax1.q_learned, relax1.q_energy
+    else:
+        q10 = evaluate(flow, params, x1)
+        q11 = -potential.potential(x1) / kT
 
     q0 = jnp.stack([q00, q01], axis=1)
     q1 = jnp.stack([q10, q11], axis=1)

@@ -251,7 +251,20 @@ def _under_vmap(*arrays):
         try:
             from jax.interpreters.batching import BatchTracer
         except ImportError:
-            return False
+            # Conservative: without the tracer check we cannot prove the
+            # call is NOT under vmap, and a vmapped pallas_call crashes on
+            # TPU tiling. Warn once and report "under vmap" so apply_rqs
+            # always takes the safe jnp path.
+            import warnings
+
+            warnings.warn(
+                "jax BatchTracer moved; disabling the fused RQS Pallas "
+                "kernel (falling back to the jnp path). Update "
+                "bijectors/rqs.py:_under_vmap for this jax version.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return True
     return any(isinstance(a, BatchTracer) for a in arrays)
 
 

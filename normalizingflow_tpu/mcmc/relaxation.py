@@ -18,12 +18,17 @@ from .hmc import run_hmc
 
 
 def collect_hmc_data(key, flow, params, target, n_chains=8, n_steps=500,
-                     burnin=100, step_size=0.01, num_leapfrog=10, kT=1.0):
+                     burnin=100, step_size=0.01, num_leapfrog=10, kT=1.0,
+                     output_dir=None, n_particles=None):
     """Flow samples -> HMC relaxation -> burn-in-trimmed training data.
 
     Counterpart of dynamics.collect_hmc_data (dynamics.py:59-65) + the
     acceptance-gated mixing policy consumed by train.py:14-19. Returns
     (data (n_frames, dim), acceptance_rate).
+
+    With output_dir set, writes generated_configs.xyz (the flow seeds) and
+    relaxed_configs.xyz (the trimmed HMC trajectory) for inspection, as the
+    reference does at dynamics.py:61,64.
     """
     k_sample, k_run = jax.random.split(key)
     x0, _, _ = flow.sample(params, k_sample, n_chains)
@@ -37,6 +42,17 @@ def collect_hmc_data(key, flow, params, target, n_chains=8, n_steps=500,
         step_size=step_size, num_leapfrog=num_leapfrog,
     )
     data = res.samples[burnin:].reshape(-1, x0.shape[1])
+    if output_dir is not None:
+        import os
+
+        from ..io.xyz import write_xyz
+
+        npart = n_particles if n_particles is not None else x0.shape[1] // 3
+        os.makedirs(output_dir, exist_ok=True)
+        write_xyz(os.path.join(output_dir, "generated_configs.xyz"),
+                  jnp.asarray(x0), npart)
+        write_xyz(os.path.join(output_dir, "relaxed_configs.xyz"),
+                  data, npart)
     return data, res.accept_rate
 
 
@@ -90,13 +106,13 @@ def relaxation_step(key, flow, params, target, traj, kT=1.0, path_len=12,
     q_after = -target.potential(relaxed) * beta
     q_learned = integrate_out_v(
         k_v, flow, params, target, relaxed, kT=kT, path_len=path_len,
-        step_size=step_size,
+        step_size=step_size, soft_factor=soft_factor,
     )
     return RelaxationResult(relaxed, q_learned, q_after, q_before)
 
 
 def integrate_out_v(key, flow, params, target, frames, kT=1.0, npoints=10,
-                    path_len=12, step_size=0.01):
+                    path_len=12, step_size=0.01, soft_factor=1000.0):
     """Marginalize the momentum of the relaxation map through the flow.
 
     Counterpart of dynamics.integrate_out_v (dynamics.py:26-36): for each
@@ -104,6 +120,12 @@ def integrate_out_v(key, flow, params, target, frames, kT=1.0, npoints=10,
     flow log-density of the endpoints, and logsumexp-average:
     log p(frame) ~ logsumexp_v log p_flow(endpoint(frame, v)) - log npoints.
     Runs all frames x npoints trajectories as one vmapped batch.
+
+    Momenta are drawn from the SAME softened distribution the relaxation
+    used (variance soft_factor/beta): the reference samples hmc.v_dist,
+    which was built at init_beta = beta/1000 (dynamics.py:15,27,
+    nf/hmc.py:25-27) -- so the marginalized density corresponds to the
+    relaxation kernel that actually produced the relaxed positions.
     """
     n, dim = frames.shape
     beta = 1.0 / kT
@@ -125,7 +147,8 @@ def integrate_out_v(key, flow, params, target, frames, kT=1.0, npoints=10,
                                     length=path_len)
         return q
 
-    ps = jax.random.normal(key, (npoints, n, dim)) * jnp.sqrt(1.0 / beta)
+    ps = jax.random.normal(key, (npoints, n, dim)) * jnp.sqrt(
+        soft_factor / beta)
     ends = jax.vmap(lambda p: jax.vmap(endpoint)(frames, p))(ps)
     # One flat batch (not vmap) so the flow's fused RQS Pallas path applies.
     lps = flow.log_prob(params, ends.reshape(npoints * n, dim))

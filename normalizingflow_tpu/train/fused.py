@@ -113,6 +113,19 @@ def train_flow_fused(flow, key, data_source, *, max_epochs=4000,
 
     t0 = time.time()
     bounds = list(range(start_epoch, max_epochs, chunk))
+    if not bounds:
+        # Resumed from a checkpoint whose epoch already reached max_epochs:
+        # nothing to train. Say so (instead of silently no-opping) and
+        # return the checkpointed params unchanged.
+        logger.info(
+            "Training already complete (resumed at epoch %d >= max_epochs "
+            "%d); returning checkpointed parameters.",
+            start_epoch, max_epochs,
+        )
+        history = {"losses": np.asarray(losses),
+                   "best_logprob": best_logprob, "steps_per_s": 0.0,
+                   "already_complete": True}
+        return params, history
     for c, start in enumerate(bounds):
         n_steps = min(chunk, max_epochs - start)
         params, opt_state, last, means = run_chunk(

@@ -210,3 +210,35 @@ def test_fused_resume_is_bit_exact(tmp_path):
     flat_b = jax.tree_util.tree_leaves(params_resumed)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_resume_already_complete(tmp_path):
+    """Resuming from a checkpoint at epoch >= max_epochs must report
+    completion (history['already_complete']) and return the checkpointed
+    params unchanged instead of silently no-opping."""
+    from normalizingflow_tpu import NormalizingFlow, bijectors, distributions
+    from normalizingflow_tpu.train.fused import train_flow_fused
+
+    target = distributions.GaussianMixture(
+        [[0.0, 0.0]], [1.0], npoints=4, point_dim=2
+    )
+    flow = NormalizingFlow(
+        distributions.DiagNormal(8),
+        bijectors.Chain([bijectors.ActNorm(8)]),
+    )
+    key = jax.random.PRNGKey(11)
+    ckpt = str(tmp_path / "c.msgpack")
+    kwargs = dict(batch_size=16, learning_rate=1e-3,
+                  scheduler="exponential", output_freq=50, chunk=50)
+    params, _ = train_flow_fused(
+        flow, key, target, max_epochs=50, checkpoint_path=ckpt, **kwargs
+    )
+    params2, hist = train_flow_fused(
+        flow, key, target, max_epochs=50, checkpoint_path=ckpt,
+        resume_from=ckpt + ".last", **kwargs
+    )
+    assert hist.get("already_complete") is True
+    assert hist["steps_per_s"] == 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

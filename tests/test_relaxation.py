@@ -104,3 +104,67 @@ def test_force_matching_zero_for_matched_model():
         target.sample(jax.random.PRNGKey(12), 500), nsamples=500
     )
     assert abs(float(gap[2])) < 0.5
+
+
+def test_relaxation_forwards_soft_factor_to_integrate_out_v(monkeypatch):
+    """The marginalized density must use the SAME softened momentum
+    distribution that relaxed the frames (reference samples hmc.v_dist
+    built at init_beta=beta/1000, dynamics.py:15,27)."""
+    import normalizingflow_tpu.mcmc.relaxation as relaxation_mod
+
+    flow, params, target = _flow_and_target()
+    traj = jax.random.normal(jax.random.PRNGKey(20), (4, 4))
+    seen = {}
+    real = relaxation_mod.integrate_out_v
+
+    def spy(key, fl, pr, tg, frames, **kw):
+        seen.update(kw)
+        return real(key, fl, pr, tg, frames, **kw)
+
+    monkeypatch.setattr(relaxation_mod, "integrate_out_v", spy)
+    relaxation_step(
+        jax.random.PRNGKey(21), flow, params, target, traj,
+        path_len=2, step_size=1e-3, soft_factor=7.5,
+    )
+    assert seen["soft_factor"] == 7.5
+    assert seen["path_len"] == 2
+    assert seen["step_size"] == 1e-3
+
+
+def test_integrate_out_v_uses_soft_momenta():
+    """With a huge soft_factor the endpoints scatter far from the frames,
+    so the marginalized logp must drop well below the direct flow logp."""
+    flow, params, target = _flow_and_target()
+    frames = jax.random.normal(jax.random.PRNGKey(22), (16, 4)) * 0.1
+    lp_soft = integrate_out_v(
+        jax.random.PRNGKey(23), flow, params, target, frames, npoints=8,
+        path_len=4, step_size=0.05, soft_factor=1000.0,
+    )
+    lp_cold = integrate_out_v(
+        jax.random.PRNGKey(23), flow, params, target, frames, npoints=8,
+        path_len=4, step_size=0.05, soft_factor=1e-6,
+    )
+    lp_direct = flow.log_prob(params, frames)
+    np.testing.assert_allclose(
+        np.asarray(lp_cold), np.asarray(lp_direct), atol=0.05
+    )
+    assert float(jnp.mean(lp_soft)) < float(jnp.mean(lp_direct)) - 1.0
+
+
+def test_collect_hmc_data_writes_xyz(tmp_path):
+    """dynamics.py:61,64 writes generated/relaxed .xyz snapshots."""
+    import os
+
+    flow, params, target = _flow_and_target(dim=6)
+    data, _ = collect_hmc_data(
+        jax.random.PRNGKey(24), flow, params, target, n_chains=2,
+        n_steps=20, burnin=5, step_size=0.3, num_leapfrog=3,
+        output_dir=str(tmp_path), n_particles=2,
+    )
+    gen = tmp_path / "generated_configs.xyz"
+    rel = tmp_path / "relaxed_configs.xyz"
+    assert gen.exists() and rel.exists()
+    from normalizingflow_tpu.io.xyz import read_xyz
+
+    frames = read_xyz(str(rel))
+    assert frames.reshape(len(frames), -1).shape == data.shape
