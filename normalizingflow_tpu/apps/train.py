@@ -22,9 +22,11 @@ from ..train.fused import train_flow_fused
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     resume = "--resume" in argv
-    argv = [a for a in argv if a != "--resume"]
+    hmc_mix_flag = "--hmc-mix" in argv
+    argv = [a for a in argv if a not in ("--resume", "--hmc-mix")]
     if not argv:
-        print("usage: nftpu-train <config.yaml> [--resume]", file=sys.stderr)
+        print("usage: nftpu-train <config.yaml> [--resume] [--hmc-mix]",
+              file=sys.stderr)
         return 2
     cfg = load_config(argv[0])
     logging.basicConfig(level=logging.INFO)
@@ -40,6 +42,31 @@ def main(argv=None):
         print(f"--resume: no checkpoint at {resume_from}; starting fresh",
               file=sys.stderr)
         resume_from = None
+
+    # Acceptance-gated HMC data mixing (reference train.py:14-19): only
+    # possible when the training target is a differentiable potential the
+    # built-in HMC can relax against (LJ/Fe/analytic -- the reference's
+    # `sim` argument); pure trajectory datasets have no energy function.
+    hmc_mixer = None
+    if hmc_mix_flag or tp.hmc_mix:
+        if hasattr(potential, "log_prob"):
+            from ..mcmc.relaxation import collect_hmc_data
+
+            def hmc_mixer(k, params):
+                # targets' log_prob already folds in kT -> pass kT=1
+                return collect_hmc_data(
+                    k, flow, params, potential,
+                    n_chains=tp.hmc_mix_chains,
+                    step_size=tp.hmc_mix_step_size,
+                    num_leapfrog=tp.hmc_mix_leapfrog,
+                    output_dir=cfg.output.training_dir,
+                    n_particles=cfg.dataset.nparticles,
+                )
+        else:
+            print("hmc_mix requested but the training target has no "
+                  "log_prob (pure dataset); mixing disabled",
+                  file=sys.stderr)
+
     params, history = train_flow_fused(
         flow,
         jax.random.PRNGKey(cfg.seed),
@@ -52,6 +79,7 @@ def main(argv=None):
         output_freq=tp.output_freq,
         checkpoint_path=ckpt,
         resume_from=resume_from,
+        hmc_mixer=hmc_mixer,
     )
     print(f"best logprob: {history['best_logprob']:.3f}; checkpoint: {ckpt}")
     return 0

@@ -108,6 +108,12 @@ class TrainConfig:
     learning_rate: float = 1e-4
     scheduler: str = "exponential"
     lr_scheduler_gamma: float = 0.999
+    # Acceptance-gated HMC data mixing (reference train.py:14-19; the
+    # reference hardcodes the 500-step/100-burnin relaxation chain).
+    hmc_mix: bool = False
+    hmc_mix_step_size: float = 0.01
+    hmc_mix_leapfrog: int = 10
+    hmc_mix_chains: int = 8
 
 
 @dataclass

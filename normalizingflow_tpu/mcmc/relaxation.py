@@ -42,12 +42,15 @@ def collect_hmc_data(key, flow, params, target, n_chains=8, n_steps=500,
         step_size=step_size, num_leapfrog=num_leapfrog,
     )
     data = res.samples[burnin:].reshape(-1, x0.shape[1])
-    if output_dir is not None:
+    dim = x0.shape[1]
+    npart = n_particles if n_particles is not None else dim // 3
+    if output_dir is not None and npart * 3 == dim:
+        # xyz snapshots only exist for 3-D particle systems (the reference
+        # writes them for LJ/Fe, dynamics.py:61,64); skip for field/toy dims.
         import os
 
         from ..io.xyz import write_xyz
 
-        npart = n_particles if n_particles is not None else x0.shape[1] // 3
         os.makedirs(output_dir, exist_ok=True)
         write_xyz(os.path.join(output_dir, "generated_configs.xyz"),
                   jnp.asarray(x0), npart)

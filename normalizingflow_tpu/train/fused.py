@@ -40,7 +40,7 @@ def train_flow_fused(flow, key, data_source, *, max_epochs=4000,
                      batch_size=100, learning_rate=1e-4,
                      scheduler="exponential", gamma=0.999, output_freq=100,
                      checkpoint_path=None, init_params=None, chunk=500,
-                     resume_from=None):
+                     resume_from=None, hmc_mixer=None, mix_every=None):
     """Forward-KL training with on-device step loops.
 
     Returns (params, history) like train_flow. `chunk` steps run per jit
@@ -51,6 +51,18 @@ def train_flow_fused(flow, key, data_source, *, max_epochs=4000,
     run bit-exact (per-step minibatch keys are fold_in(key, absolute_step),
     so the data stream is position-, not session-, dependent). The reference
     has no resume path at all (SURVEY.md §5).
+
+    `hmc_mixer`, if given, is called as hmc_mixer(key, params) ->
+    (data (m, dim), acc_prob) every `mix_every` epochs (default
+    2*output_freq); when acc_prob lands in (0.3, 0.6) the subsequent
+    training batches are drawn from that HMC-relaxed data instead of the
+    dataset -- the reference's acceptance-gated mixing policy
+    (applications/src/train.py:14-19). Divergence by design: the reference
+    checks the cadence every epoch; here the check happens at chunk
+    boundaries (chunks are >=400 steps to stay in XLA's rolled-loop
+    regime), so the effective cadence is max(mix_every, chunk). The gate
+    flag rides into the jitted chunk as a traced scalar, so toggling it
+    never recompiles.
     """
     k_init, key = jax.random.split(key)
     params = init_params if init_params is not None else flow.init(k_init)
@@ -88,12 +100,27 @@ def train_flow_fused(flow, key, data_source, *, max_epochs=4000,
 
     chunk = min(max(chunk, 400), max_epochs)
 
+    mixing = hmc_mixer is not None
+    if mixing:
+        mix_every = mix_every if mix_every is not None else 2 * output_freq
+
     @partial(jax.jit, static_argnames=("n_steps",))
-    def run_chunk(params, opt_state, key, base, n_steps):
+    def run_chunk(params, opt_state, key, base, n_steps, *mix):
+        def get_batch(k):
+            x = sample_batch(k)
+            if mixing:
+                mix_buf, use_mix = mix
+                idx = jax.random.randint(
+                    jax.random.fold_in(k, 1), (batch_size,), 0,
+                    mix_buf.shape[0],
+                )
+                x = jnp.where(use_mix, jnp.take(mix_buf, idx, axis=0), x)
+            return x
+
         def body(i, carry):
             params, opt_state, _, sums = carry
             k = jax.random.fold_in(key, base + i)
-            x = sample_batch(k)
+            x = get_batch(k)
             (loss, aux), grads = jax.value_and_grad(
                 lambda p: forward_kl_loss(flow, p, x), has_aux=True
             )(params)
@@ -126,10 +153,26 @@ def train_flow_fused(flow, key, data_source, *, max_epochs=4000,
                    "best_logprob": best_logprob, "steps_per_s": 0.0,
                    "already_complete": True}
         return params, history
+    mix_args = ()
+    mix_log = []
+    next_mix = start_epoch
     for c, start in enumerate(bounds):
+        if mixing and start >= next_mix:
+            km = jax.random.fold_in(jax.random.fold_in(key, 0x6D6978), start)
+            data, acc = hmc_mixer(km, params)
+            accf = float(acc)
+            gate = 0.3 < accf < 0.6
+            mix_args = (jnp.asarray(data), jnp.asarray(gate))
+            next_mix = start + mix_every
+            mix_log.append({"epoch": start, "acceptance": accf,
+                            "mixed": gate})
+            logger.info(
+                "HMC mix at epoch %d: acceptance %.3f -> %s", start, accf,
+                "relaxed data" if gate else "dataset (gate failed)",
+            )
         n_steps = min(chunk, max_epochs - start)
         params, opt_state, last, means = run_chunk(
-            params, opt_state, key, jnp.asarray(start), n_steps
+            params, opt_state, key, jnp.asarray(start), n_steps, *mix_args
         )
         epoch = start + n_steps
         losses.append(float(means["loss"]))
@@ -151,4 +194,6 @@ def train_flow_fused(flow, key, data_source, *, max_epochs=4000,
                 save_checkpoint(checkpoint_path, state)
     history = {"losses": np.asarray(losses), "best_logprob": best_logprob,
                "steps_per_s": (max_epochs - start_epoch) / (time.time() - t0)}
+    if mixing:
+        history["hmc_mixing"] = mix_log
     return params, history

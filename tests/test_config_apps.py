@@ -242,3 +242,71 @@ def test_fused_resume_already_complete(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(params2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_hmc_mixing_gate():
+    """Acceptance-gated HMC data mixing in the fused train loop
+    (reference train.py:14-19): acceptance in (0.3, 0.6) trains on the
+    mixer's relaxed data; outside the band it falls back to the dataset."""
+    import jax.numpy as jnp
+
+    from normalizingflow_tpu import NormalizingFlow, bijectors, distributions
+    from normalizingflow_tpu.train.fused import train_flow_fused
+
+    source = distributions.DiagNormal(2)
+
+    def make_flow():
+        return NormalizingFlow(
+            distributions.DiagNormal(2),
+            bijectors.Chain([bijectors.ActNorm(2)]),
+        )
+
+    mix_data = jnp.full((64, 2), 5.0)
+    kwargs = dict(max_epochs=800, batch_size=32, learning_rate=0.05,
+                  scheduler="constant", output_freq=100, chunk=400)
+
+    flow = make_flow()
+    params, hist = train_flow_fused(
+        flow, jax.random.PRNGKey(0), source,
+        hmc_mixer=lambda k, p: (mix_data, 0.45), **kwargs
+    )
+    x, _, _ = flow.sample(params, jax.random.PRNGKey(1), 256)
+    assert float(jnp.mean(x)) > 3.0, "accepted gate must train on mix data"
+    assert hist["hmc_mixing"][0]["mixed"] is True
+
+    flow2 = make_flow()
+    params2, hist2 = train_flow_fused(
+        flow2, jax.random.PRNGKey(0), source,
+        hmc_mixer=lambda k, p: (mix_data, 0.9), **kwargs
+    )
+    x2, _, _ = flow2.sample(params2, jax.random.PRNGKey(1), 256)
+    assert abs(float(jnp.mean(x2))) < 0.5, "failed gate must use the dataset"
+    assert hist2["hmc_mixing"][0]["mixed"] is False
+
+
+def test_train_cli_hmc_mix(tmp_path, caplog):
+    """--hmc-mix / train_parameters.hmc_mix wires collect_hmc_data into the
+    fused loop (xyz snapshots are skipped for this 2-D toy; see
+    test_collect_hmc_data_writes_xyz for the 3-D write path)."""
+    import logging
+
+    from normalizingflow_tpu.apps.train import main as train_main
+
+    base = yaml.safe_load(
+        open(os.path.join(CONFIG_DIR, "Gaussian_rnvp.yaml"))
+    )
+    base["train_parameters"]["max_epochs"] = 400
+    base["train_parameters"]["hmc_mix"] = True
+    base["train_parameters"]["hmc_mix_step_size"] = 0.3
+    base["train_parameters"]["hmc_mix_leapfrog"] = 5
+    base["output"] = {
+        "training_dir": str(tmp_path / "train") + "/",
+        "testing_dir": str(tmp_path / "test") + "/",
+        "model_dir": str(tmp_path / "models") + "/",
+        "best_model_dir": str(tmp_path / "best") + "/",
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(base))
+    with caplog.at_level(logging.INFO, logger="normalizingflow_tpu.train"):
+        assert train_main([str(cfg_path)]) == 0
+    assert "HMC mix at epoch 0" in caplog.text
