@@ -218,8 +218,19 @@ def build_potential(name, cfg_section, ds: DatasetConfig, boxlength=None):
     if name == "Fe":
         from .targets.eam import EAMIron
 
+        # dataset.input_dir carries the EAM potential table, playing the
+        # role of the reference's LAMMPS input template + eam file
+        # (applications/input/Fe_400K.yaml:9, systems.py:12-43). When set,
+        # energies come from the tabulated setfl path; otherwise the
+        # built-in analytic Finnis-Sinclair model.
+        setfl = ds.input_dir
+        if setfl and not os.path.exists(setfl):
+            raise FileNotFoundError(
+                f"dataset.input_dir={setfl!r} (EAM setfl table) not found"
+            )
         return EAMIron(
             nparticles=ds.nparticles, boxlength=boxlength, kT=ds.kT,
+            setfl_path=setfl or None,
             pos_dir=ds.data if ds.data and os.path.exists(ds.data) else None,
             data_type=ds.type,
         )

@@ -14,8 +14,11 @@ Two parameterizations:
     psi(r) = (r-d)^2 + beta (r-d)^3 / d for r < d; embedding F(rho) =
     -A sqrt(rho). Smooth, short-ranged, no tables needed.
   * tabulated DYNAMO/LAMMPS "setfl" (eam.fs / eam.alloy) files via
-    `load_setfl`, evaluated with differentiable linear interpolation --
-    drop-in for the same potential files the reference fed to LAMMPS.
+    `load_setfl`, evaluated with differentiable natural cubic splines
+    (LAMMPS also spline-interpolates these tables) -- drop-in for the same
+    potential files the reference fed to LAMMPS. Wired from
+    `dataset.input_dir` in configs; `tools/make_setfl.py` tabulates the
+    analytic model into this format for fixtures/validation.
 
 Energies are O(N^2) dense pair evaluations with minimum-image PBC -- optimal
 on TPU for the reference's N = 54 (3x3x3 bcc) cells.
@@ -78,15 +81,61 @@ def fs_iron_energy(pos, boxlength, params=FS_IRON):
 
 
 # ------------------------------------------------------------- setfl tables
+def _natural_cubic_coeffs(y, h):
+    """Natural cubic-spline coefficients on a uniform grid (numpy, one-time).
+
+    Returns (a, b, c, d) each of length n-1 so that on segment k
+    (x in [k*h, (k+1)*h], t = x - k*h):  f = a + b t + c t^2 + d t^3.
+    LAMMPS evaluates setfl tables with cubic splines; linear interpolation
+    would give discontinuous forces (bad for HMC acceptance).
+    """
+    y = np.asarray(y, dtype=np.float64)
+    n = y.shape[0]
+    # Thomas algorithm for second derivatives M: M[0]=M[n-1]=0,
+    # M[i-1] + 4 M[i] + M[i+1] = 6 (y[i+1]-2y[i]+y[i-1]) / h^2.
+    rhs = 6.0 * (y[2:] - 2.0 * y[1:-1] + y[:-2]) / (h * h)
+    m = np.zeros(n)
+    if n > 2:
+        cp = np.zeros(n - 2)
+        dp = np.zeros(n - 2)
+        cp[0] = 1.0 / 4.0
+        dp[0] = rhs[0] / 4.0
+        for i in range(1, n - 2):
+            denom = 4.0 - cp[i - 1]
+            cp[i] = 1.0 / denom
+            dp[i] = (rhs[i] - dp[i - 1]) / denom
+        m[n - 2] = dp[-1]
+        for i in range(n - 3, 0, -1):
+            m[i] = dp[i - 1] - cp[i - 1] * m[i + 1]
+    a = y[:-1]
+    b = (y[1:] - y[:-1]) / h - h * (2.0 * m[:-1] + m[1:]) / 6.0
+    c = m[:-1] / 2.0
+    d = (m[1:] - m[:-1]) / (6.0 * h)
+    return tuple(jnp.asarray(v) for v in (a, b, c, d))
+
+
+def _spline_eval(coeffs, h, x):
+    """Evaluate a uniform-grid cubic spline at x (any shape); clamps ends."""
+    a, b, c, d = coeffs
+    k = jnp.clip(jnp.floor(x / h).astype(jnp.int32), 0, a.shape[0] - 1)
+    t = x - k.astype(x.dtype) * h
+    return ((d[k] * t + c[k]) * t + b[k]) * t + a[k]
+
+
 def load_setfl(path):
     """Parse a single-element DYNAMO setfl (eam.alloy/eam.fs) file.
 
-    Returns dict of grids: F(rho) on [0, nrho*drho), rho(r) and phi(r) =
-    (r*phi)/r on [0, nr*dr), plus the cutoff.
+    This is the TPU-native stand-in for the potential file the reference
+    hands to LAMMPS (applications/src/systems.py:12-43 reads an input
+    template that `pair_style eam`-loads the table). Format: 3 comment
+    lines; `nelements names`; `nrho drho nr dr cutoff`; per-element header;
+    then F(rho) [nrho], rho(r) [nr], r*phi(r) [nr] whitespace-separated.
+
+    Returns a dict of cubic-spline coefficient pytrees (F, rho, r*phi) plus
+    grid spacings -- everything `tabulated_eam_energy` needs, all jittable.
     """
     with open(path) as fh:
         lines = fh.read().split("\n")
-    # 3 comment lines, then: nelements names / nrho drho nr dr cutoff
     vals = lines[4].split()
     nrho, drho, nr, dr, cutoff = (
         int(vals[0]), float(vals[1]), int(vals[2]), float(vals[3]),
@@ -96,34 +145,42 @@ def load_setfl(path):
     for line in lines[6:]:
         numbers.extend(float(tok) for tok in line.split())
     numbers = np.asarray(numbers)
+    expected = nrho + 2 * nr
+    if numbers.size < expected:
+        raise ValueError(
+            f"setfl file {path!r} has {numbers.size} values, "
+            f"expected {expected} (nrho={nrho}, nr={nr})"
+        )
     f_rho = numbers[:nrho]
     rho_r = numbers[nrho : nrho + nr]
     rphi = numbers[nrho + nr : nrho + 2 * nr]
-    r_grid = np.arange(nr) * dr
-    phi_r = np.where(r_grid > 0, rphi / np.maximum(r_grid, dr), rphi / dr)
     return {
-        "f_rho": jnp.asarray(f_rho), "drho": drho,
-        "rho_r": jnp.asarray(rho_r), "phi_r": jnp.asarray(phi_r), "dr": dr,
+        "f_spl": _natural_cubic_coeffs(f_rho, drho), "drho": drho,
+        "rho_spl": _natural_cubic_coeffs(rho_r, dr),
+        "rphi_spl": _natural_cubic_coeffs(rphi, dr), "dr": dr,
         "cutoff": cutoff,
     }
 
 
 def tabulated_eam_energy(pos, boxlength, tables):
-    """Total energy from setfl tables via linear interpolation."""
+    """Total energy from setfl tables via cubic-spline interpolation.
+
+    Replaces the reference's per-frame LAMMPS `run 0` energy extraction
+    (applications/src/systems.py:49-53, 232-244) with a pure jittable
+    function: smooth in positions, so jax.grad gives continuous forces.
+    """
     r, eye = _pair_distances(pos, boxlength)
     dr, drho, cutoff = tables["dr"], tables["drho"], tables["cutoff"]
-    nr = tables["rho_r"].shape[0]
-    r_grid = jnp.arange(nr) * dr
     within = (r < cutoff) & ~eye
     r_safe = jnp.where(within, r, cutoff)
-    phi = jnp.interp(r_safe, r_grid, tables["phi_r"])
-    psi = jnp.interp(r_safe, r_grid, tables["rho_r"])
+    # setfl stores r*phi (well-behaved at small r); divide by r after interp.
+    rphi = _spline_eval(tables["rphi_spl"], dr, r_safe)
+    phi = rphi / jnp.maximum(r_safe, dr)
+    psi = _spline_eval(tables["rho_spl"], dr, r_safe)
     phi = jnp.where(within, phi, 0.0)
     psi = jnp.where(within, psi, 0.0)
     rho = jnp.sum(psi, axis=1)
-    nrho = tables["f_rho"].shape[0]
-    rho_grid = jnp.arange(nrho) * drho
-    embed = jnp.interp(rho, rho_grid, tables["f_rho"])
+    embed = _spline_eval(tables["f_spl"], drho, rho)
     return 0.5 * jnp.sum(phi) + jnp.sum(embed)
 
 
