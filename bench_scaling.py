@@ -80,11 +80,13 @@ def throughput(mesh, flow, params, target, log):
             step_size=float(adapt.step_size),
             inv_mass_diag=adapt.inv_mass_diag, num_leapfrog=LEAPFROG,
         )
-        return res.samples
+        # value fetch = true sync; block_until_ready can report readiness
+        # before execution finishes on the TPU relay (see PERF.md).
+        return float(jnp.sum(res.samples[-1, 0]))
 
-    jax.block_until_ready(run(3))  # compile
+    run(3)  # compile + sync
     t0 = time.time()
-    jax.block_until_ready(run(4))
+    run(4)
     dt = time.time() - t0
     return chains * DRAWS / dt, dt
 
@@ -98,7 +100,10 @@ def main():
     if jax.default_backend() == "cpu":
         # methodology check on fake devices: don't spend minutes training
         bench.TRAIN_STEPS = 1500
-    flow, target = bench.build()
+    flow = bench.build_flow()
+    from normalizingflow_tpu.targets import NealsFunnel
+
+    target = NealsFunnel(bench.DIM)
     # Scaling measures the sampler, not the trainer: a short training run
     # is enough for a well-conditioned pullback.
     params, _ = bench.train(flow, target, jax.random.PRNGKey(0))

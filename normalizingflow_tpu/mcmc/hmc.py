@@ -65,21 +65,25 @@ def leapfrog(logprob_grad_fn, position, momentum, grad, step_size,
 
     Standard kick-drift-kick with the gradient of log pi (so "force" =
     +grad log pi, the JAX-native replacement of the reference's
-    LAMMPS `run N` leapfrog at systems.py:94-103).
+    LAMMPS `run N` leapfrog at systems.py:94-103). Requires num_steps >= 1
+    (the returned log-prob comes from the last step's gradient eval).
     """
 
     def step(carry, _):
-        q, p, g = carry
+        q, p, lp, g = carry
         p = p + 0.5 * step_size * g
         q = q + step_size * (inv_mass_diag * p)
         lp, g = logprob_grad_fn(q)
         p = p + 0.5 * step_size * g
-        return (q, p, g), None
+        return (q, p, lp, g), None
 
-    (q, p, g), _ = jax.lax.scan(
-        step, (position, momentum, grad), None, length=num_steps
+    # lp rides in the carry so the final state needs NO extra gradient eval
+    # (an L-step trajectory costs exactly L value_and_grad calls -- at L=4
+    # the old recompute-at-the-end version was 25% more FLOPs per draw).
+    zero_lp = jnp.zeros_like(jnp.sum(position, axis=-1))
+    (q, p, lp, g), _ = jax.lax.scan(
+        step, (position, momentum, zero_lp, grad), None, length=num_steps
     )
-    lp, g = logprob_grad_fn(q)
     return q, p, lp, g
 
 

@@ -61,3 +61,22 @@ def run_hmc_sharded(mesh, key, logprob_fn, init_position, num_samples,
     with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
         return run_hmc(key, logprob_fn, init_position, num_samples,
                        **hmc_kwargs)
+
+
+def run_smc_sharded(mesh, key, particles, proposal_logprob_fn,
+                    target_logprob_fn, axis_name=None, **smc_kwargs):
+    """`mcmc.smc.run_smc` with the particle axis sharded over the mesh.
+
+    Per-particle work (incremental weights, HMC mutations) stays local to
+    each shard; the temperature-bisection ESS reduction, the normalized-CDF
+    cumsum, and the systematic-resampling gather cross particles, so XLA
+    inserts the psum / all_gather collectives from the sharding annotations
+    alone (SURVEY.md §2.5: "SMC resampling via sharded prefix-sum +
+    all_gather of normalized weights").
+    """
+    from ..mcmc.smc import run_smc
+
+    particles = shard_batch(mesh, particles, axis_name)
+    with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
+        return run_smc(key, particles, proposal_logprob_fn,
+                       target_logprob_fn, **smc_kwargs)

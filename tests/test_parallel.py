@@ -75,6 +75,59 @@ def test_hmc_sharded_chains():
     np.testing.assert_allclose(s.var(axis=0), 1.0, atol=0.15)
 
 
+def test_hmc_sharded_matches_unsharded():
+    """Sharding the chain axis must not change HMC semantics: same key ->
+    same draws (up to the warmup's cross-chain mean-acceptance psum, whose
+    reduction order may differ -> allclose, not exact)."""
+    from normalizingflow_tpu.mcmc import run_hmc
+
+    logprob = lambda q: -0.5 * jnp.sum(q * q)
+    init = jax.random.normal(jax.random.PRNGKey(2), (32, 4))
+    kwargs = dict(num_samples=20, num_warmup=16, step_size=0.3,
+                  num_leapfrog=3)
+
+    ref = run_hmc(jax.random.PRNGKey(5), logprob, init, **kwargs)
+    mesh = make_mesh("chains")
+    sh = run_hmc_sharded(mesh, jax.random.PRNGKey(5), logprob, init, **kwargs)
+
+    np.testing.assert_allclose(
+        np.asarray(sh.samples), np.asarray(ref.samples), rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        float(sh.accept_rate), float(ref.accept_rate), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(sh.step_size), float(ref.step_size), rtol=1e-6
+    )
+
+
+def test_smc_sharded_matches_unsharded():
+    """Particle-sharded SMC (resampling gather + ESS-bisection reductions
+    cross shards) must reproduce the single-device run."""
+    from normalizingflow_tpu.mcmc.smc import run_smc
+    from normalizingflow_tpu.parallel import run_smc_sharded
+
+    prop = lambda x: -0.5 * jnp.sum(x * x, axis=-1)
+    targ = lambda x: -0.5 * jnp.sum((x - 0.7) ** 2, axis=-1) * 2.0
+    particles = jax.random.normal(jax.random.PRNGKey(3), (64, 4))
+    kwargs = dict(n_mutation_steps=2, num_leapfrog=3, max_stages=8)
+
+    ref = run_smc(jax.random.PRNGKey(6), particles, prop, targ, **kwargs)
+    mesh = make_mesh("chains")
+    sh = run_smc_sharded(
+        mesh, jax.random.PRNGKey(6), particles, prop, targ, **kwargs
+    )
+
+    np.testing.assert_allclose(
+        float(sh.log_evidence), float(ref.log_evidence), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh.particles), np.asarray(ref.particles),
+        rtol=1e-5, atol=1e-7,
+    )
+    assert int(sh.n_stages) == int(ref.n_stages)
+
+
 def test_graft_dryrun_multichip():
     import importlib.util
     import os
