@@ -3,14 +3,26 @@
 BASELINE.json north star: >= 1e6 ESS/s on a 64-d RealNVP-preconditioned
 target on one TPU host.
 
-Primary target: 64-d Neal's funnel -- a target the affine flow CANNOT
-represent exactly (the v-dependent scale of the lower-half coordinates is
-not expressible by the 2-layer coupling pattern), so the NeuTra pullback is
-genuinely non-Gaussian, the reported ESS sits strictly below the
-chains*draws cap, and the number measures real mixing, not raw draw
-throughput. ESS is taken as the min over per-coordinate ESS of BOTH x and
-the nonlinear functional x^2. The round-1 ill-conditioned-Gaussian run
-(which the flow fits exactly; ESS saturates) is kept as a secondary line.
+Primary target: 64-d Neal's funnel -- a target the half-split affine
+coupling stack cannot represent exactly (after layer 1 removes the
+v-dependent scale from the conditioned half, v is only *statistically*
+recoverable from 32 rescaled coordinates, so the coordinates sharing v's
+half keep a residual v-dependent scale the flow cannot kill). The NeuTra
+pullback is therefore genuinely non-Gaussian and the reported ESS sits
+strictly below the chains*draws cap: the number measures real mixing, not
+raw draw throughput.
+
+ESS methodology: the headline is the min over per-coordinate rank-normalized
+bulk ESS (Vehtari et al. 2021 -- the Stan/arviz standard) of BOTH x and the
+nonlinear functional x^2, plus the min tail ESS (5%/95% quantile indicator
+ESS). Rank normalization makes the estimate invariant to monotone
+transforms; the raw (non-rank) estimator is also reported, but for
+heavy-tailed functionals like x^2 of e^{v/2}-scaled funnel coordinates its
+autocovariance is dominated by a handful of extreme draws and it
+UNDER-estimates the number of effectively independent tail events
+(tests/test_estimators.py:test_bulk_ess_rank_normalization_invariance).
+The round-1 ill-conditioned-Gaussian run (which the flow fits exactly; ESS
+saturates at the cap) is kept as a secondary line.
 
 Also reports the BASELINE "speed-of-light" row: flow fwd+logdet device
 latency measured by the slope method (tools/mfu.py -- the axon relay has a
@@ -36,7 +48,9 @@ import jax.numpy as jnp
 import optax
 
 from normalizingflow_tpu import NormalizingFlow, bijectors, distributions
-from normalizingflow_tpu.estimators.ess import ess_per_dim
+from normalizingflow_tpu.estimators.ess import (
+    bulk_ess_per_dim, ess_per_dim, tail_ess,
+)
 from normalizingflow_tpu.mcmc import run_hmc
 from normalizingflow_tpu.mcmc.neutra import pullback_logprob
 from normalizingflow_tpu.targets import IllConditionedGaussian, NealsFunnel
@@ -44,14 +58,13 @@ from normalizingflow_tpu.train.objectives import reverse_kl
 
 DIM = 64
 HIDDEN = 128
-LAYERS = 2
+LAYERS = 4
 # Tuned on v5e: 8192 chains saturates the chip (16384 regresses -- HBM
-# pressure); 1024 draws amortizes the per-dispatch relay latency; L=4
-# leapfrog steps balances per-draw cost against autocorrelation.
+# pressure); 1024 draws amortizes the per-dispatch relay latency.
 CHAINS = 8192
 DRAWS = 1024
 WARMUP = 100
-LEAPFROG = 4
+LEAPFROG = 8
 TRAIN_STEPS = 15000
 TRAIN_BATCH = 4096
 
@@ -60,18 +73,18 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_flow():
+def build_flow(layers=LAYERS, hidden=HIDDEN, dim=DIM):
     return NormalizingFlow(
-        distributions.DiagNormal(DIM),
+        distributions.DiagNormal(dim),
         bijectors.Chain(
-            [bijectors.ActNorm(DIM)]
-            + [bijectors.AffineCoupling(DIM, hidden_dim=HIDDEN)
-               for _ in range(LAYERS)]
+            [bijectors.ActNorm(dim)]
+            + [bijectors.AffineCoupling(dim, hidden_dim=hidden)
+               for _ in range(layers)]
         ),
     )
 
 
-def train(flow, target, key):
+def train(flow, target, key, steps=TRAIN_STEPS, batch=TRAIN_BATCH):
     """Whole training run as ONE on-device fori_loop per chunk: per-step host
     dispatch costs ~25 ms over the TPU relay. Chunk trip counts in
     [~400, ~1000] stay in XLA's rolled-loop regime (CLAUDE.md)."""
@@ -80,7 +93,7 @@ def train(flow, target, key):
         optax.clip_by_global_norm(1.0),
         optax.adam(
             optax.warmup_cosine_decay_schedule(
-                0.0, 1e-3, warmup_steps=500, decay_steps=TRAIN_STEPS
+                0.0, 1e-3, warmup_steps=500, decay_steps=steps
             )
         ),
     )
@@ -94,7 +107,7 @@ def train(flow, target, key):
             params, opt_state, _ = carry
             k = jax.random.fold_in(key, base + i)
             loss, grads = jax.value_and_grad(
-                lambda p: reverse_kl(flow, p, target, k, TRAIN_BATCH)
+                lambda p: reverse_kl(flow, p, target, k, batch)
             )(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
@@ -105,41 +118,43 @@ def train(flow, target, key):
         return params, opt_state, loss
 
     loss = jnp.zeros(())
-    for c in range(TRAIN_STEPS // CHUNK):
+    for c in range(steps // CHUNK):
         params, opt_state, loss = run(
             params, opt_state, key, jnp.asarray(c * CHUNK)
         )
     return params, float(loss)
 
 
-def neutra_ess_run(flow, target, key, tag):
+def neutra_ess_run(flow, target, key, tag, leapfrog=LEAPFROG, draws=DRAWS,
+                   chains=CHAINS, train_steps=TRAIN_STEPS):
     """Train flow on target, run NeuTra HMC, return ESS/s + diagnostics."""
+    dim = target.dim
     t0 = time.time()
-    params, final_kl = train(flow, target, key)
+    params, final_kl = train(flow, target, key, steps=train_steps)
     t_train = time.time() - t0
     log(tag, "train done", round(t_train, 1), "kl", round(final_kl, 3))
 
     logprob = pullback_logprob(flow, params, target)
-    z0 = flow.prior.sample(jax.random.PRNGKey(1), CHAINS)
+    z0 = flow.prior.sample(jax.random.PRNGKey(1), chains)
 
     # Phase 1: adaptation (warmup) + a couple of draws; compiles everything.
     adapt = run_hmc(
         jax.random.PRNGKey(2), logprob, z0, num_samples=2,
-        num_warmup=WARMUP, step_size=0.5, num_leapfrog=LEAPFROG,
+        num_warmup=WARMUP, step_size=0.5, num_leapfrog=leapfrog,
     )
     jax.block_until_ready(adapt.samples)
 
     # Phase 2: timed run -- sampling + latent->data push in ONE jit (one
-    # dispatch; the relay's fixed latency amortizes over 1024 draws).
+    # dispatch; the relay's fixed latency amortizes over the draws).
     @jax.jit
     def sample_and_push(seed, pos):
         res = run_hmc(
             jax.random.PRNGKey(seed), logprob, pos,
-            num_samples=DRAWS, num_warmup=0,
+            num_samples=draws, num_warmup=0,
             step_size=float(adapt.step_size),
-            inv_mass_diag=adapt.inv_mass_diag, num_leapfrog=LEAPFROG,
+            inv_mass_diag=adapt.inv_mass_diag, num_leapfrog=leapfrog,
         )
-        x, _ = flow.inverse(params, res.samples.reshape(-1, DIM))
+        x, _ = flow.inverse(params, res.samples.reshape(-1, dim))
         x = x.reshape(res.samples.shape)
         # 4-byte checksum: block_until_ready on this relay can report
         # readiness before execution finishes; fetching a VALUE that
@@ -153,16 +168,25 @@ def neutra_ess_run(flow, target, key, tag):
     float(chk)
     t_sample = time.time() - t0
 
-    ess_x = ess_per_dim(xs)
-    ess_x2 = ess_per_dim(xs * xs)
-    ess_min = float(jnp.minimum(jnp.min(ess_x), jnp.min(ess_x2)))
+    # Headline: Stan rank-normalized bulk ESS of x and x^2 (+ tail ESS of
+    # the funnel-hardest coordinate); raw ESS reported alongside.
+    bulk_x = bulk_ess_per_dim(xs)
+    bulk_x2 = bulk_ess_per_dim(xs * xs)
+    raw_x = ess_per_dim(xs)
+    raw_x2 = ess_per_dim(xs * xs)
+    ess_min = float(jnp.minimum(jnp.min(bulk_x), jnp.min(bulk_x2)))
+    hardest = int(jnp.argmin(bulk_x))
+    t_ess = float(tail_ess(xs[:, :, hardest]))
     log(tag, "ess done", round(ess_min, 1), "in", round(t_sample, 3), "s")
     return {
         "ess_per_s": ess_min / t_sample,
-        "ess_min_x": round(float(jnp.min(ess_x)), 1),
-        "ess_min_x2": round(float(jnp.min(ess_x2)), 1),
-        "ess_median_x": round(float(jnp.median(ess_x)), 1),
-        "ess_cap": CHAINS * DRAWS,
+        "ess_min_bulk_x": round(float(jnp.min(bulk_x)), 1),
+        "ess_min_bulk_x2": round(float(jnp.min(bulk_x2)), 1),
+        "ess_median_bulk_x": round(float(jnp.median(bulk_x)), 1),
+        "ess_min_raw_x": round(float(jnp.min(raw_x)), 1),
+        "ess_min_raw_x2": round(float(jnp.min(raw_x2)), 1),
+        "ess_tail_hardest_coord": round(t_ess, 1),
+        "ess_cap": chains * draws,
         "sample_s": round(t_sample, 3),
         "train_s": round(t_train, 1),
         "final_reverse_kl": round(final_kl, 3),
@@ -216,7 +240,7 @@ def main():
              for k, v in gauss.items()}
     gauss["ess_per_s"] = round(gauss["ess_per_s"], 1)
 
-    # Speed-of-light row (measured on the funnel-trained flow params).
+    # Speed-of-light row (fresh params; same architecture).
     params = flow.init(jax.random.PRNGKey(0))
     mfu = mfu_fwd_logdet(flow, params)
 
@@ -232,6 +256,7 @@ def main():
             "chains": CHAINS,
             "draws": DRAWS,
             "leapfrog": LEAPFROG,
+            "flow_layers": LAYERS,
             "gaussian_secondary": gauss,
             **mfu,
             "device": str(jax.devices()[0]),

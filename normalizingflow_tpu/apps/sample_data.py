@@ -51,14 +51,37 @@ def generate(cfg, nframes=2000, chains=64, thin=2, seed=0):
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
+    seed = 0
+    test_only = None
+    rest = []
+    it = iter(argv)
+    for a in it:
+        if a == "--seed":
+            seed = int(next(it))
+        elif a == "--test-only":
+            # Write the WHOLE run as one independent test dataset (for
+            # fe_diff_ntrials' mean+/-std over independent MD datasets,
+            # reference examples/fe.py:49-55).
+            test_only = next(it)
+        else:
+            rest.append(a)
+    argv = rest
     if not argv:
         print("usage: python -m normalizingflow_tpu.apps.sample_data "
-              "<config.yaml> [nframes]", file=sys.stderr)
+              "<config.yaml> [nframes] [--seed N] [--test-only out.npy]",
+              file=sys.stderr)
         return 2
     cfg = load_config(argv[0])
     nframes = int(argv[1]) if len(argv) > 1 else 2000
 
-    frames, acc = generate(cfg, nframes)
+    frames, acc = generate(cfg, nframes, seed=seed)
+    if test_only is not None:
+        os.makedirs(os.path.dirname(os.path.abspath(test_only)),
+                    exist_ok=True)
+        np.save(test_only, frames)
+        print(f"wrote {len(frames)} independent test frames "
+              f"(HMC acceptance {acc:.2f}, seed {seed}) -> {test_only}")
+        return 0
     train_path = cfg.dataset.training_data
     test_path = cfg.dataset.testing_data
     n_train = int(0.8 * len(frames))

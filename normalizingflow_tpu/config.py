@@ -156,10 +156,24 @@ def _merge_dataclass(dc, overrides):
 
 
 def load_config(path):
-    """Parse a reference-format YAML file into a Config."""
+    """Parse a reference-format YAML file into a Config.
+
+    Honors `device: cpu` (reference cfg.device semantics, config.py:5 /
+    setup.py:63) by switching the JAX platform BEFORE any computation --
+    this environment pins JAX_PLATFORMS=axon (tunneled TPU) at the process
+    level, so the config key is the only way a CLI run can opt out of the
+    chip. `tpu`/`cuda:*`/unset keep the process default (the TPU)."""
     with open(path) as fh:
         raw = yaml.safe_load(fh) or {}
-    return _merge_dataclass(Config(), raw)
+    cfg = _merge_dataclass(Config(), raw)
+    if str(getattr(cfg, "device", "") or "").lower() == "cpu":
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized; too late to switch
+    return cfg
 
 
 # ------------------------------------------------------------ box length

@@ -51,6 +51,57 @@ def effective_sample_size(x):
     return jnp.minimum(n * m / tau, n * m * 1.0)
 
 
+def _rank_normalize(x):
+    """Fractional-rank normal transform of pooled draws (Vehtari et al. 2021
+    eq. 14): rank over ALL chains' draws, map rank r -> Phi^-1((r - 3/8) /
+    (S + 1/4)). Makes ESS invariant to monotone transforms -- in particular
+    robust for heavy-tailed functionals (x^2 of wide funnel coordinates),
+    where the raw autocovariance estimator is dominated by a handful of
+    extreme draws. x: (draws, chains)."""
+    n, m = x.shape
+    flat = x.reshape(-1)
+    order = jnp.argsort(flat)
+    ranks = jnp.zeros(flat.shape, x.dtype).at[order].set(
+        jnp.arange(1, flat.size + 1, dtype=x.dtype)
+    )
+    from jax.scipy.special import ndtri
+
+    z = ndtri((ranks - 0.375) / (flat.size + 0.25))
+    return z.reshape(n, m)
+
+
+def bulk_ess(x):
+    """Stan's rank-normalized bulk ESS of one parameter, x: (draws, chains).
+
+    Continuous chains have measure-zero ties, so argsort ranks equal
+    fractional ranks almost surely."""
+    return effective_sample_size(_rank_normalize(x))
+
+
+def tail_ess(x):
+    """Stan's tail ESS: min ESS of the 5% / 95% quantile indicator chains --
+    sensitivity of tail estimates to poor tail mixing. Rank-normalizing a
+    binary chain with average-tie ranks is an affine map, and ESS is
+    affine-invariant, so the indicator ESS is computed directly (argsort
+    ranks would break the massive ties arbitrarily and inflate ESS)."""
+    q05 = jnp.quantile(x, 0.05)
+    q95 = jnp.quantile(x, 0.95)
+    e05 = effective_sample_size((x <= q05).astype(x.dtype))
+    e95 = effective_sample_size((x <= q95).astype(x.dtype))
+    return jnp.minimum(e05, e95)
+
+
+def bulk_ess_per_dim(samples, dim_chunk=4):
+    """samples: (draws, chains, dim) -> (dim,) rank-normalized bulk ESS."""
+    dim = samples.shape[-1]
+    dim_chunk = min(dim_chunk, dim)
+    pad = (-dim) % dim_chunk
+    idx = jnp.concatenate([jnp.arange(dim), jnp.zeros(pad, jnp.int32)])
+    f = lambda d: bulk_ess(samples[:, :, d])
+    out = jax.lax.map(jax.vmap(f), idx.reshape(-1, dim_chunk)).reshape(-1)
+    return out[:dim]
+
+
 def ess_per_dim(samples, dim_chunk=8):
     """samples: (draws, chains, dim) -> (dim,) ESS per coordinate.
 

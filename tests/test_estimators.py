@@ -108,3 +108,55 @@ def test_fe_diff_no_training_recovers_gaussian_gap():
 
     exact = -0.5 * d * math.log(2 * math.pi * 0.25)
     np.testing.assert_allclose(f[1] - f[0], exact, atol=0.05)
+
+
+def test_bulk_ess_rank_normalization_invariance():
+    """Bulk ESS (Vehtari et al. 2021) is invariant to monotone transforms:
+    a heavy-tailed functional (exp of AR(1)) must report the SAME mixing as
+    the underlying chain, where the raw estimator collapses."""
+    from normalizingflow_tpu.estimators.ess import bulk_ess
+
+    n, m = 1000, 4
+    phi = 0.9
+    eps = np.asarray(jax.random.normal(jax.random.PRNGKey(6), (n, m)))
+    x = np.zeros((n, m))
+    for t in range(1, n):
+        x[t] = phi * x[t - 1] + eps[t] * math.sqrt(1 - phi * phi)
+    x = jnp.asarray(x)
+    b_x = float(bulk_ess(x))
+    b_heavy = float(bulk_ess(jnp.exp(3.0 * x)))  # lognormal, very heavy
+    np.testing.assert_allclose(b_heavy, b_x, rtol=1e-6)
+    tau = n * m / b_x
+    assert 10.0 < tau < 30.0, tau
+
+    iid = jax.random.normal(jax.random.PRNGKey(7), (n, m))
+    assert float(bulk_ess(iid)) > 0.5 * n * m
+
+
+def test_tail_ess_iid_vs_sticky_tails():
+    from normalizingflow_tpu.estimators.ess import tail_ess
+
+    n, m = 2000, 4
+    iid = jax.random.normal(jax.random.PRNGKey(8), (n, m))
+    t_iid = float(tail_ess(iid))
+    assert t_iid > 0.3 * n * m, t_iid
+
+    # Strongly correlated chain: tail ESS must drop by ~tau.
+    phi = 0.95
+    eps = np.asarray(jax.random.normal(jax.random.PRNGKey(9), (n, m)))
+    x = np.zeros((n, m))
+    for t in range(1, n):
+        x[t] = phi * x[t - 1] + eps[t] * math.sqrt(1 - phi * phi)
+    t_corr = float(tail_ess(jnp.asarray(x)))
+    assert t_corr < 0.25 * t_iid, (t_corr, t_iid)
+
+
+def test_bulk_ess_per_dim_shapes():
+    from normalizingflow_tpu.estimators.ess import bulk_ess, bulk_ess_per_dim
+
+    x = jax.random.normal(jax.random.PRNGKey(10), (200, 8, 5))
+    per = bulk_ess_per_dim(x)
+    assert per.shape == (5,)
+    np.testing.assert_allclose(
+        float(per[2]), float(bulk_ess(x[:, :, 2])), rtol=1e-6
+    )
