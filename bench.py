@@ -58,9 +58,12 @@ from normalizingflow_tpu.train.objectives import reverse_kl
 
 DIM = 64
 HIDDEN = 128
-LAYERS = 4
-# Tuned on v5e: 8192 chains saturates the chip (16384 regresses -- HBM
-# pressure); 1024 draws amortizes the per-dispatch relay latency.
+LAYERS = 2
+# Tuned on v5e (tools/tune_bench.py sweep, layers x leapfrog in
+# {2,4,6}x{4,8,16}): 8192 chains saturates the chip (16384 regresses --
+# HBM pressure); 1024 draws amortizes the per-dispatch relay latency;
+# 2 coupling layers + 8 leapfrog steps maximizes min-bulk-ESS/s (deeper
+# flows cost ~2x per draw without mixing better on the funnel pullback).
 CHAINS = 8192
 DRAWS = 1024
 WARMUP = 100

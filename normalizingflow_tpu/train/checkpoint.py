@@ -15,6 +15,7 @@ file: atomic (write-temp + rename), dependency-light, and layout-independent
 from __future__ import annotations
 
 import os
+import shutil
 
 import jax
 import numpy as np
@@ -30,6 +31,14 @@ def save_checkpoint(path, state):
     with open(tmp, "wb") as fh:
         fh.write(data)
     os.replace(tmp, path)
+
+
+def copy_checkpoint(src, dst):
+    """Atomically duplicate an on-disk checkpoint (no device fetch)."""
+    tmp = dst + ".tmp"
+    os.makedirs(os.path.dirname(os.path.abspath(dst)), exist_ok=True)
+    shutil.copyfile(src, tmp)
+    os.replace(tmp, dst)
 
 
 def load_checkpoint(path, template):

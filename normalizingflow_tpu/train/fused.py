@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import copy_checkpoint, load_checkpoint, save_checkpoint
 from .loop import make_optimizer
 from .objectives import forward_kl_loss
 
@@ -104,7 +104,12 @@ def train_flow_fused(flow, key, data_source, *, max_epochs=4000,
     if mixing:
         mix_every = mix_every if mix_every is not None else 2 * output_freq
 
-    @partial(jax.jit, static_argnames=("n_steps",))
+    # Donating params/opt_state lets XLA update them in place across chunk
+    # boundaries -- without it the chip holds input AND output copies of the
+    # training state, which OOMs the 2048-dim Polymer NSF_AR (params+Adam
+    # ~10 GB on a 16 GB v5e). Callers never touch the donated buffers again
+    # (they rebind both names to the returned arrays).
+    @partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0, 1))
     def run_chunk(params, opt_state, key, base, n_steps, *mix):
         def get_batch(k):
             x = sample_batch(k)
@@ -156,6 +161,8 @@ def train_flow_fused(flow, key, data_source, *, max_epochs=4000,
     mix_args = ()
     mix_log = []
     next_mix = start_epoch
+    last_save_t = 0.0
+    save_cost = 0.0
     for c, start in enumerate(bounds):
         if mixing and start >= next_mix:
             km = jax.random.fold_in(jax.random.fold_in(key, 0x6D6978), start)
@@ -185,13 +192,26 @@ def train_flow_fused(flow, key, data_source, *, max_epochs=4000,
         )
         logprob = float(means["logprob"])
         if checkpoint_path:
-            state = {"params": params, "opt_state": opt_state, "key": key,
-                     "epoch": np.asarray(epoch),
-                     "losses": np.asarray(losses, np.float32)}
-            save_checkpoint(checkpoint_path + ".last", state)
-            if logprob > best_logprob:
+            # One device->host fetch per chunk max: the best-model file
+            # (reference train.py:37-40 semantics) is an on-disk copy of a
+            # fresh .last, never a second fetch. The periodic .last is
+            # throttled so checkpoint time stays <= ~25% of train time --
+            # the 2048-dim Polymer states are multi-GB and a fetch over the
+            # TPU relay can rival a whole chunk of steps.
+            final = epoch >= max_epochs
+            need_best = logprob > best_logprob
+            due = (time.time() - last_save_t) >= 4.0 * save_cost
+            if final or need_best or due:
+                state = {"params": params, "opt_state": opt_state,
+                         "key": key, "epoch": np.asarray(epoch),
+                         "losses": np.asarray(losses, np.float32)}
+                ts = time.time()
+                save_checkpoint(checkpoint_path + ".last", state)
+                save_cost = time.time() - ts
+                last_save_t = time.time()
+            if need_best:
                 best_logprob = logprob
-                save_checkpoint(checkpoint_path, state)
+                copy_checkpoint(checkpoint_path + ".last", checkpoint_path)
     history = {"losses": np.asarray(losses), "best_logprob": best_logprob,
                "steps_per_s": (max_epochs - start_epoch) / (time.time() - t0)}
     if mixing:
