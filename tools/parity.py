@@ -96,8 +96,18 @@ def parse_fe_diff(out):
 
 
 def parse_train(out):
+    d = {}
     m = re.search(rf"best logprob: {FLOAT}", out)
-    return {"best_logprob": float(m.group(1))} if m else {}
+    if m:
+        d["best_logprob"] = float(m.group(1))
+    mixes = re.findall(
+        rf"HMC mix at epoch (\d+): acceptance {FLOAT} -> (.+)", out)
+    if mixes:
+        d["hmc_mix_events"] = len(mixes)
+        d["hmc_mix_gate_passed"] = sum(
+            1 for _, _, s in mixes if s.startswith("relaxed"))
+        d["hmc_mix_acceptances"] = [round(float(a), 3) for _, a, _ in mixes]
+    return d
 
 
 def run_config(name):
@@ -137,8 +147,13 @@ def run_config(name):
                     ["normalizingflow_tpu.apps.polymer", cfg, "data"]):
             return row
 
-    if not step("train", ["normalizingflow_tpu.apps.train", cfg],
-                parse_train, timeout=7200):
+    # LJ/Fe have differentiable potentials the built-in HMC can relax
+    # against -> exercise the reference's acceptance-gated data-mixing
+    # policy live (train.py:14-19; apps/train.py --hmc-mix).
+    train_args = ["normalizingflow_tpu.apps.train", cfg]
+    if name in ("LJ", "Fe_400K"):
+        train_args.append("--hmc-mix")
+    if not step("train", train_args, parse_train, timeout=7200):
         return row
 
     if name.startswith("Polymer"):
@@ -207,6 +222,12 @@ def render(rows):
     for r in rows:
         steps = ", ".join(f"{k} {v['seconds']}s" for k, v in r["steps"].items())
         lines.append(f"- **{r['config']}**: {steps}")
+        if "hmc_mix_events" in r:
+            lines.append(
+                f"  - HMC data-mixing policy (train.py:14-19): "
+                f"{r['hmc_mix_events']} mixer calls, gate (0.3,0.6) passed "
+                f"{r['hmc_mix_gate_passed']}x; acceptances "
+                f"{r['hmc_mix_acceptances']}")
         for k, v in r["steps"].items():
             if not v.get("ok") and v.get("tail"):
                 lines.append(f"  - {k} failure tail:\n"
