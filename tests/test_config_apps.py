@@ -310,3 +310,36 @@ def test_train_cli_hmc_mix(tmp_path, caplog):
     with caplog.at_level(logging.INFO, logger="normalizingflow_tpu.train"):
         assert train_main([str(cfg_path)]) == 0
     assert "HMC mix at epoch 0" in caplog.text
+
+
+def test_best_checkpoint_is_copy_of_fresh_last(tmp_path):
+    """The best-model file (reference train.py:37-40 gate) is produced by an
+    on-disk copy of a just-written .last -- never a second device fetch --
+    and both restore cleanly."""
+    from normalizingflow_tpu import NormalizingFlow, bijectors, distributions
+    from normalizingflow_tpu.train.checkpoint import load_checkpoint
+    from normalizingflow_tpu.train.fused import train_flow_fused
+
+    target = distributions.GaussianMixture(
+        [[0.6, 0.6]], [0.3], npoints=4, point_dim=2
+    )
+    flow = NormalizingFlow(
+        distributions.DiagNormal(8),
+        bijectors.Chain([bijectors.AffineCoupling(8, hidden_dim=16)]),
+    )
+    ckpt = str(tmp_path / "m.msgpack")
+    params, hist = train_flow_fused(
+        flow, jax.random.PRNGKey(3), target, max_epochs=100, batch_size=16,
+        learning_rate=1e-3, scheduler="exponential", output_freq=50,
+        checkpoint_path=ckpt, chunk=50,
+    )
+    # single chunk (chunk clamps to max_epochs=100): best == .last exactly
+    with open(ckpt, "rb") as f1, open(ckpt + ".last", "rb") as f2:
+        assert f1.read() == f2.read()
+    template = {"params": flow.init(jax.random.PRNGKey(0)),
+                "opt_state": None, "key": None, "epoch": 0, "losses": None}
+    state = load_checkpoint(ckpt, template)
+    assert int(state["epoch"]) == 100
+    for a, b in zip(jax.tree_util.tree_leaves(state["params"]),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
