@@ -251,7 +251,11 @@ def build_potential(name, cfg_section, ds: DatasetConfig, boxlength=None):
     if name == "SimData":
         return TrajectoryDataset(ds.data, data_type=ds.type)
     if name == "Phi4":
-        return Phi4Lattice(L=ds.L, kappa=ds.kappa, lam=ds.lam)
+        return Phi4Lattice(
+            L=ds.L, kappa=ds.kappa, lam=ds.lam,
+            pos_dir=ds.data if ds.data and os.path.exists(ds.data) else None,
+            data_type=ds.type,
+        )
     if name == "GaussianField":
         from .targets.gff import GaussianField
 

@@ -32,13 +32,44 @@ def phi4_action(phi, kappa, lam):
 
 
 class Phi4Lattice(Target):
-    """2-D phi^4 lattice; log_prob = -S[phi]. x is (batch, L*L) flattened."""
+    """2-D phi^4 lattice; log_prob = -S[phi]. x is (batch, L*L) flattened.
 
-    def __init__(self, L=8, kappa=0.3, lam=0.022):
+    Like LennardJones/EAMIron, an HMC-generated trajectory can be attached
+    (`pos_dir`) so the target doubles as a forward-KL data source for the
+    training CLI (the reference's System+SimData hybrid pattern,
+    applications/src/systems.py:144-152)."""
+
+    def __init__(self, L=8, kappa=0.3, lam=0.022, pos_dir=None,
+                 data_type="npy"):
         self.L = int(L)
         self.dim = self.L * self.L
         self.kappa = float(kappa)
         self.lam = float(lam)
+        self.data_type = data_type
+        if pos_dir:
+            from .dataset import TrajectoryDataset
+
+            self.dataset = TrajectoryDataset(pos_dir, data_type)
+        else:
+            self.dataset = None
+
+    def sample(self, key, nsamples, **kw):
+        if self.dataset is None:
+            raise ValueError(
+                "Phi4Lattice has no attached trajectory data; generate one "
+                "with apps.sample_data or pass pos_dir"
+            )
+        return self.dataset.sample(key, nsamples, **kw)
+
+    def update_data(self, path=None, **kw):
+        from .dataset import TrajectoryDataset
+
+        if self.dataset is None:
+            self.dataset = TrajectoryDataset(
+                path, self.data_type, data=kw.get("data")
+            )
+        else:
+            self.dataset.update_data(path, **kw)
 
     def potential(self, x):
         fields = x.reshape(-1, self.L, self.L)

@@ -20,7 +20,7 @@ CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
 ALL_CONFIGS = sorted(glob.glob(os.path.join(CONFIG_DIR, "*.yaml")))
 # dataset-backed configs need trajectory files; build/check model only
 DATA_BACKED = {"LJ", "Fe_100K", "Fe_400K", "Fe_700K", "Polymer",
-               "Polymer_rnvp"}
+               "Polymer_rnvp", "Phi4"}
 
 
 @pytest.mark.parametrize("path", ALL_CONFIGS, ids=os.path.basename)

@@ -122,3 +122,48 @@ def test_gff_registry_and_polymer_data_roundtrip(tmp_path):
     test = np.load(cfg.dataset.testing_data)
     assert train.shape == (8, 32) and test.shape == (2, 32)
     assert np.all(np.isfinite(train))
+
+
+def test_phi4_config_end_to_end(tmp_path):
+    """Phi4.yaml pipeline: HMC data -> forward-KL training -> density eval
+    (the config-5 workflow; same shape as the LJ/Fe pipelines)."""
+    import dataclasses
+
+    import normalizingflow_tpu.config as C
+    from normalizingflow_tpu.apps.sample_data import generate
+    from normalizingflow_tpu.train.fused import train_flow_fused
+
+    cfg = C.load_config("configs/Phi4.yaml")
+    ds = dataclasses.replace(cfg.dataset, L=4, nparticles=16)
+    pr = dataclasses.replace(cfg.prior, nparticles=16)
+    cfg = dataclasses.replace(cfg, dataset=ds, prior=pr)
+
+    frames, acc = generate(cfg, nframes=256, chains=32, seed=0)
+    assert frames.shape == (256, 16)
+    assert 0.2 < acc <= 1.0
+
+    data_path = str(tmp_path / "phi4.npy")
+    np.save(data_path, frames)
+    cfg = dataclasses.replace(
+        cfg, dataset=dataclasses.replace(ds, training_data=data_path)
+    )
+    flow, potential, cfg = C.setup_model(cfg, mode="training")
+    assert potential.dataset is not None
+
+    params, hist = train_flow_fused(
+        flow, jax.random.PRNGKey(0), potential, max_epochs=1600,
+        batch_size=64, learning_rate=1e-3, scheduler="cosine",
+        output_freq=200, chunk=400,
+    )
+    losses = hist["losses"]  # one mean per 400-step chunk
+    assert losses[-1] < losses[0], losses
+    # trained flow assigns its samples a density comparable to data's
+    x, log_px, _ = flow.sample(params, jax.random.PRNGKey(1), 256)
+    lp_data = flow.log_prob(params, jnp.asarray(frames))
+    # The phi4 config at kappa=0.3 is near-critical and 1600 CPU steps is
+    # far undertrained (the config runs 4000 on TPU): the check here is
+    # end-to-end pipeline consistency (finite, same-ballpark densities),
+    # not convergence -- the production-quality check is the config row in
+    # PARITY_RESULTS.md.
+    gap = abs(float(jnp.mean(log_px)) - float(jnp.mean(lp_data)))
+    assert np.isfinite(gap) and gap < 20.0, gap
