@@ -124,7 +124,7 @@ def run_config(name):
             row["steps"][step_name]["tail"] = tail
         return ok
 
-    if name in ("LJ", "Fe_100K", "Fe_400K", "Fe_700K"):
+    if name in ("LJ", "Fe_100K", "Fe_400K", "Fe_700K", "Phi4"):
         if not step("data",
                     ["normalizingflow_tpu.apps.sample_data", cfg, "2000"]):
             return row
@@ -173,12 +173,13 @@ def run_config(name):
 # all Delta-F estimators must return exactly 0 per particle.
 EXACT_ZERO = {"Gaussian", "GaussianMixture", "Gaussian_rnvp", "Einstein"}
 ALL = ["Gaussian", "GaussianMixture", "Gaussian_rnvp", "Einstein",
-       "LJ", "Fe_100K", "Fe_400K", "Fe_700K", "Polymer", "Polymer_rnvp"]
+       "LJ", "Fe_100K", "Fe_400K", "Fe_700K", "Polymer", "Polymer_rnvp",
+       "Phi4"]  # Phi4: beyond-reference config (BASELINE config 5)
 
 
 def render(rows):
     lines = [
-        "# PARITY_RESULTS — all 10 reference configs end-to-end",
+        "# PARITY_RESULTS — the 10 reference configs (+ Phi4) end-to-end",
         "",
         "Produced by `python tools/parity.py` on the single tunneled TPU "
         "v5e chip; step logs in `runs/parity/logs/`. Workflow per config: "
