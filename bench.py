@@ -195,6 +195,62 @@ def neutra_ess_run(flow, target, key, tag, leapfrog=LEAPFROG, draws=DRAWS,
         "final_reverse_kl": round(final_kl, 3),
         "accept": round(float(accept_rate), 3),
         "samples": xs,
+        "params": params,
+    }
+
+
+def nuts_ess_line(flow, params, target, chains=4096, draws=256,
+                  max_depth=7):
+    """NUTS on the same NeuTra pullback (VERDICT r2 item 5: give NUTS a
+    number next to HMC). Same timed-phase protocol as neutra_ess_run:
+    adapt first, then one jit containing sampling + latent->data push."""
+    from normalizingflow_tpu.mcmc.nuts import run_nuts
+
+    dim = target.dim
+    logprob = pullback_logprob(flow, params, target)
+    z0 = flow.prior.sample(jax.random.PRNGKey(21), chains)
+    adapt = run_nuts(
+        jax.random.PRNGKey(22), logprob, z0, num_samples=2,
+        num_warmup=WARMUP, step_size=0.5, max_depth=max_depth,
+    )
+    jax.block_until_ready(adapt.samples)
+
+    @jax.jit
+    def sample_and_push(seed, pos):
+        res = run_nuts(
+            jax.random.PRNGKey(seed), logprob, pos, num_samples=draws,
+            num_warmup=0, step_size=float(adapt.step_size),
+            max_depth=max_depth, inv_mass_diag=adapt.inv_mass_diag,
+        )
+        x, _ = flow.inverse(params, res.samples.reshape(-1, dim))
+        x = x.reshape(res.samples.shape)
+        return (x, res.accept_rate, res.mean_depth, res.divergence_rate,
+                jnp.sum(x[-1]))
+
+    pos = adapt.final_state.position
+    float(sample_and_push(23, pos)[4])  # compile + sync
+    t0 = time.time()
+    xs, accept, depth, div, chk = sample_and_push(24, pos)
+    float(chk)
+    t_sample = time.time() - t0
+
+    bulk_x = bulk_ess_per_dim(xs)
+    bulk_x2 = bulk_ess_per_dim(xs * xs)
+    ess_min = float(jnp.minimum(jnp.min(bulk_x), jnp.min(bulk_x2)))
+    log("nuts", "ess done", round(ess_min, 1), "in", round(t_sample, 3),
+        "s", "depth", round(float(depth), 2))
+    return {
+        "ess_per_s": round(ess_min / t_sample, 1),
+        "ess_min_bulk_x": round(float(jnp.min(bulk_x)), 1),
+        "ess_min_bulk_x2": round(float(jnp.min(bulk_x2)), 1),
+        "ess_cap": chains * draws,
+        "sample_s": round(t_sample, 3),
+        "mean_tree_depth": round(float(depth), 2),
+        "divergence_rate": round(float(div), 4),
+        "accept": round(float(accept), 3),
+        "chains": chains,
+        "draws": draws,
+        "max_depth": max_depth,
     }
 
 
@@ -227,11 +283,16 @@ def main():
     funnel = neutra_ess_run(
         flow, NealsFunnel(DIM), jax.random.PRNGKey(0), "funnel")
     xs = funnel.pop("samples")
+    funnel_params = funnel.pop("params")
     v = xs[..., 0]
     funnel_stats = {
         "v_mean": round(float(jnp.mean(v)), 3),
         "v_var": round(float(jnp.var(v)), 3),   # true: 0, 9
     }
+
+    # NUTS on the same trained pullback: HMC-vs-NUTS on one line (the
+    # BASELINE north star names a "jit-compiled NUTS/HMC engine").
+    nuts = nuts_ess_line(flow, funnel_params, NealsFunnel(DIM))
 
     # Secondary: ill-conditioned Gaussian (round-1 line; flow fits exactly,
     # ESS saturates at the cap -- raw draw throughput).
@@ -239,6 +300,7 @@ def main():
         flow, IllConditionedGaussian(DIM, condition=1e4),
         jax.random.PRNGKey(0), "gauss")
     gauss.pop("samples")
+    gauss.pop("params")
     gauss = {k: (round(v, 1) if isinstance(v, float) else v)
              for k, v in gauss.items()}
     gauss["ess_per_s"] = round(gauss["ess_per_s"], 1)
@@ -261,6 +323,7 @@ def main():
             "leapfrog": LEAPFROG,
             "flow_layers": LAYERS,
             "gaussian_secondary": gauss,
+            "nuts_funnel": nuts,
             **mfu,
             "device": str(jax.devices()[0]),
         },

@@ -236,41 +236,17 @@ def set_fused_rqs(enabled):
     _FUSED_ENABLED = bool(enabled)
 
 
-def _under_vmap(*arrays):
-    """True when any input is being traced by an outer jax.vmap.
-
-    vmap of a pallas_call prepends a grid dimension with block size 1,
-    which violates the TPU (8, 128) tiling rule for our 1-D row blocks --
-    so under vmap the jnp lowering (which XLA fuses fine) is used instead.
-    Callers wanting the fused kernel should reshape the batch into rows
-    rather than vmap (e.g. mcmc/relaxation.integrate_out_v).
-    """
-    try:
-        from jax._src.interpreters.batching import BatchTracer
-    except ImportError:  # pragma: no cover - jax internals moved
-        try:
-            from jax.interpreters.batching import BatchTracer
-        except ImportError:
-            # Conservative: without the tracer check we cannot prove the
-            # call is NOT under vmap, and a vmapped pallas_call crashes on
-            # TPU tiling. Warn once and report "under vmap" so apply_rqs
-            # always takes the safe jnp path.
-            import warnings
-
-            warnings.warn(
-                "jax BatchTracer moved; disabling the fused RQS Pallas "
-                "kernel (falling back to the jnp path). Update "
-                "bijectors/rqs.py:_under_vmap for this jax version.",
-                RuntimeWarning,
-                stacklevel=2,
-            )
-            return True
-    return any(isinstance(a, BatchTracer) for a in arrays)
-
-
 def apply_rqs(inputs, w, h, d, *, inverse=False, tail_bound=None, left=None,
               right=None, bottom=None, top=None):
-    """unconstrained_rqs with automatic Pallas acceleration on TPU."""
+    """unconstrained_rqs with automatic Pallas acceleration on TPU.
+
+    Safe under vmap: the fused kernel carries a jax.custom_batching rule
+    (ops/rqs_pallas._fused_elementwise) that collapses batch dims into
+    rows, so no tracer introspection is needed here. Note the element-size
+    gate below sees the PER-ELEMENT shape under vmap, so small vmapped
+    elements keep the jnp path even when the total batched work is large --
+    vmapped callers wanting the kernel should pass full batches as rows.
+    """
     if tail_bound is not None:
         left, right = -tail_bound, tail_bound
         bottom, top = left, right
@@ -283,7 +259,6 @@ def apply_rqs(inputs, w, h, d, *, inverse=False, tail_bound=None, left=None,
         _FUSED_ENABLED
         and n >= _FUSED_MIN_ELEMENTS
         and jax.default_backend() == "tpu"
-        and not _under_vmap(inputs, w, h, d)
     ):
         from ..ops.rqs_pallas import unconstrained_rqs_fused
 

@@ -172,7 +172,16 @@ def load_config(path):
         try:
             jax.config.update("jax_platforms", "cpu")
         except RuntimeError:
-            pass  # backend already initialized; too late to switch
+            # Backend already initialized; too late to switch. Be loud:
+            # silently running a `device: cpu` config on the TPU is the
+            # kind of surprise ADVICE r2 flagged.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "config %s requests device: cpu but the JAX backend is "
+                "already initialized (%s); continuing on the existing "
+                "platform", path, jax.default_backend(),
+            )
     return cfg
 
 

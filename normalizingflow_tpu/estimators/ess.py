@@ -51,43 +51,65 @@ def effective_sample_size(x):
     return jnp.minimum(n * m / tau, n * m * 1.0)
 
 
+def _split_chains(x):
+    """Split every chain in half: (n, m) -> (n//2, 2m) (Vehtari et al. 2021
+    sec. 3.1 / Stan). Within-run trends then show up as between-chain
+    variance, deflating ESS -- unsplit ESS overstates mixing for chains that
+    drift over the run. Drops the last draw when n is odd."""
+    n, m = x.shape
+    half = n // 2
+    return jnp.concatenate([x[:half], x[half : 2 * half]], axis=1)
+
+
 def _rank_normalize(x):
     """Fractional-rank normal transform of pooled draws (Vehtari et al. 2021
     eq. 14): rank over ALL chains' draws, map rank r -> Phi^-1((r - 3/8) /
     (S + 1/4)). Makes ESS invariant to monotone transforms -- in particular
     robust for heavy-tailed functionals (x^2 of wide funnel coordinates),
     where the raw autocovariance estimator is dominated by a handful of
-    extreme draws. x: (draws, chains)."""
+    extreme draws. x: (draws, chains).
+
+    Ranks are scattered as exact int32 and the ndtri argument is computed in
+    f64 when enabled (tests) else f32: storing ranks in the SAMPLE dtype
+    would lose integer exactness above 2^24 pooled draws for f32 inputs
+    (ADVICE r2). At S > 2^24 under f32 the (r - 3/8)/(S + 1/4) quotient
+    itself quantizes adjacent ranks (1/S < eps) -- inherent to f32
+    probabilities, statistically negligible for ESS."""
     n, m = x.shape
     flat = x.reshape(-1)
+    ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     order = jnp.argsort(flat)
-    ranks = jnp.zeros(flat.shape, x.dtype).at[order].set(
-        jnp.arange(1, flat.size + 1, dtype=x.dtype)
+    ranks = jnp.zeros(flat.shape, jnp.int32).at[order].set(
+        jnp.arange(1, flat.size + 1, dtype=jnp.int32)
     )
     from jax.scipy.special import ndtri
 
-    z = ndtri((ranks - 0.375) / (flat.size + 0.25))
-    return z.reshape(n, m)
+    z = ndtri((ranks.astype(ftype) - 0.375) / (flat.size + 0.25))
+    return z.reshape(n, m).astype(x.dtype)
 
 
 def bulk_ess(x):
-    """Stan's rank-normalized bulk ESS of one parameter, x: (draws, chains).
+    """Stan's SPLIT rank-normalized bulk ESS of one parameter,
+    x: (draws, chains).
 
+    Chains are split in half first (the split-R-hat convention the
+    Stan/arviz ESS definition includes), then rank-normalized over the pool.
     Continuous chains have measure-zero ties, so argsort ranks equal
     fractional ranks almost surely."""
-    return effective_sample_size(_rank_normalize(x))
+    return effective_sample_size(_rank_normalize(_split_chains(x)))
 
 
 def tail_ess(x):
-    """Stan's tail ESS: min ESS of the 5% / 95% quantile indicator chains --
-    sensitivity of tail estimates to poor tail mixing. Rank-normalizing a
-    binary chain with average-tie ranks is an affine map, and ESS is
-    affine-invariant, so the indicator ESS is computed directly (argsort
-    ranks would break the massive ties arbitrarily and inflate ESS)."""
+    """Stan's tail ESS: min SPLIT-chain ESS of the 5% / 95% quantile
+    indicator chains -- sensitivity of tail estimates to poor tail mixing.
+    Rank-normalizing a binary chain with average-tie ranks is an affine map,
+    and ESS is affine-invariant, so the indicator ESS is computed directly
+    (argsort ranks would break the massive ties arbitrarily and inflate
+    ESS)."""
     q05 = jnp.quantile(x, 0.05)
     q95 = jnp.quantile(x, 0.95)
-    e05 = effective_sample_size((x <= q05).astype(x.dtype))
-    e95 = effective_sample_size((x <= q95).astype(x.dtype))
+    e05 = effective_sample_size(_split_chains((x <= q05).astype(x.dtype)))
+    e95 = effective_sample_size(_split_chains((x <= q95).astype(x.dtype)))
     return jnp.minimum(e05, e95)
 
 

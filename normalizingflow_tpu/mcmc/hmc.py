@@ -141,6 +141,19 @@ def hmc_kernel(logprob_fn, step_size, num_leapfrog, inv_mass_diag,
     return kernel
 
 
+def padded_length(length, chunk=128):
+    """Trip count chunked_scan actually runs: length rounded up to chunk.
+
+    Callers that feed PRNG keys should split `padded_length(L)` keys so the
+    tail-padding iterations consume FRESH randomness instead of replaying
+    the first `pad` keys (VERDICT r2 item 6: replayed momentum draws leave
+    a key correlation in the carried-out final_state).
+    """
+    if length <= chunk:
+        return length
+    return -(-length // chunk) * chunk
+
+
 def chunked_scan(f, init, xs, length, chunk=128):
     """lax.scan with trip counts kept small via nesting.
 
@@ -151,8 +164,12 @@ def chunked_scan(f, init, xs, length, chunk=128):
     iterations (valid extra MCMC transitions) and outputs are sliced back to
     `length` by the caller where needed.
 
-    f: (carry, x) -> (carry, y). xs: pytree with leading dim `length` or
-    None. Returns (carry, ys) with ys leading dim >= length (padded).
+    f: (carry, x) -> (carry, y). xs: pytree with leading dims either
+    `length` (tail-padded here by replaying the head -- only safe for
+    non-random inputs like schedule flags) or `padded_length(length)`
+    (already padded by the caller; REQUIRED for PRNG keys so pad iterations
+    draw fresh randomness). Returns (carry, ys) with ys leading dim
+    `padded_length(length)`.
     """
     if length <= chunk:
         return jax.lax.scan(f, init, xs, length=length)
@@ -160,7 +177,15 @@ def chunked_scan(f, init, xs, length, chunk=128):
     pad = n_outer * chunk - length
 
     def pad_leaf(a):
-        reps = jnp.concatenate([a, a[:pad]], axis=0) if pad else a
+        if a.shape[0] == n_outer * chunk:  # caller pre-padded (fresh keys)
+            reps = a
+        elif a.shape[0] == length:
+            reps = jnp.concatenate([a, a[:pad]], axis=0) if pad else a
+        else:
+            raise ValueError(
+                f"chunked_scan: leaf leading dim {a.shape[0]} is neither "
+                f"length={length} nor padded_length={n_outer * chunk}"
+            )
         return reps.reshape((n_outer, chunk) + a.shape[1:])
 
     xs_c = None if xs is None else jax.tree.map(pad_leaf, xs)
@@ -254,11 +279,17 @@ def run_hmc(key, logprob_fn, init_position, num_samples, num_warmup=500,
 
     if num_warmup > 0:
         k_warm, key = jax.random.split(key)
-        warm_keys = jax.random.split(k_warm, num_warmup)
+        # Fresh keys for the tail-pad iterations; pad flags with False so
+        # padded steps are plain transitions (no window bookkeeping).
+        n_pad = padded_length(num_warmup)
+        warm_keys = jax.random.split(k_warm, n_pad)
+        pad_false = jnp.zeros(n_pad - num_warmup, bool)
         (state, da_state, _, inv_mass_diag), _ = chunked_scan(
             warmup_step,
             (state, da_state, wf_state, inv_mass_diag),
-            (warm_keys, in_window, window_end),
+            (warm_keys,
+             jnp.concatenate([in_window, pad_false]),
+             jnp.concatenate([window_end, pad_false])),
             length=num_warmup,
         )
         eps_final = da_step_size(da_state, averaged=True)
@@ -291,7 +322,9 @@ def run_hmc(key, logprob_fn, init_position, num_samples, num_warmup=500,
             state.position, state.log_prob,
         )
 
-    sample_keys = jax.random.split(key, num_samples)
+    # padded_length keys: pad iterations are valid extra transitions with
+    # FRESH momentum draws (not replays of the first keys).
+    sample_keys = jax.random.split(key, padded_length(num_samples))
     (state, acc_sum), (samples, log_probs) = chunked_scan(
         outer, (state, jnp.zeros((), dtype)), sample_keys,
         length=num_samples,

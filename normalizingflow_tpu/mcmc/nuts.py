@@ -30,7 +30,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .hmc import chunked_scan
+from .hmc import chunked_scan, padded_length
 from .adaptation import (
     da_init,
     da_step_size,
@@ -312,10 +312,13 @@ class NUTSResult(NamedTuple):
     ),
 )
 def run_nuts(key, logprob_fn, init_position, num_samples, num_warmup=500,
-             step_size=0.1, max_depth=8, target_accept=0.8):
+             step_size=0.1, max_depth=8, target_accept=0.8,
+             inv_mass_diag=None):
     """Full NUTS run (warmup adaptation + sampling), one XLA program.
 
-    Mirrors run_hmc's interface; init_position (chains, dim)."""
+    Mirrors run_hmc's interface; init_position (chains, dim).
+    `inv_mass_diag` seeds the (diagonal) inverse mass; with num_warmup=0 it
+    is used as-is -- the timed-phase pattern bench.py uses for HMC."""
     from .hmc import hmc_init
 
     chains, dim = init_position.shape
@@ -332,7 +335,8 @@ def run_nuts(key, logprob_fn, init_position, num_samples, num_warmup=500,
     window_end = jnp.asarray(window_end)
     da_state = da_init(jnp.asarray(step_size, dtype))
     wf_state = welford_init(dim, dtype)
-    inv_mass_diag = jnp.ones(dim, dtype)
+    if inv_mass_diag is None:
+        inv_mass_diag = jnp.ones(dim, dtype)
 
     def warmup_step(carry, xs):
         state, da_state, wf_state, inv_mass = carry
@@ -365,10 +369,16 @@ def run_nuts(key, logprob_fn, init_position, num_samples, num_warmup=500,
 
     if num_warmup > 0:
         k_warm, key = jax.random.split(key)
+        # Fresh keys + False flags for the chunked_scan tail pad (see
+        # hmc.padded_length).
+        n_pad = padded_length(num_warmup)
+        pad_false = jnp.zeros(n_pad - num_warmup, bool)
         (state, da_state, _, inv_mass_diag), _ = chunked_scan(
             warmup_step,
             (state, da_state, wf_state, inv_mass_diag),
-            (jax.random.split(k_warm, num_warmup), in_window, window_end),
+            (jax.random.split(k_warm, n_pad),
+             jnp.concatenate([in_window, pad_false]),
+             jnp.concatenate([window_end, pad_false])),
             length=num_warmup,
         )
         eps_final = da_step_size(da_state, averaged=True)
@@ -392,7 +402,7 @@ def run_nuts(key, logprob_fn, init_position, num_samples, num_warmup=500,
         sample_step,
         (state, jnp.zeros((), dtype), jnp.zeros((), dtype),
          jnp.zeros((), dtype)),
-        jax.random.split(key, num_samples),
+        jax.random.split(key, padded_length(num_samples)),
         length=num_samples,
     )
     n = float(samples.shape[0])

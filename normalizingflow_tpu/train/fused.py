@@ -191,6 +191,7 @@ def train_flow_fused(flow, key, data_source, *, max_epochs=4000,
             float(means["prior"]), float(means["log_det"]), rate,
         )
         logprob = float(means["logprob"])
+        need_best = logprob > best_logprob
         if checkpoint_path:
             # One device->host fetch per chunk max: the best-model file
             # (reference train.py:37-40 semantics) is an on-disk copy of a
@@ -199,7 +200,6 @@ def train_flow_fused(flow, key, data_source, *, max_epochs=4000,
             # the 2048-dim Polymer states are multi-GB and a fetch over the
             # TPU relay can rival a whole chunk of steps.
             final = epoch >= max_epochs
-            need_best = logprob > best_logprob
             due = (time.time() - last_save_t) >= 4.0 * save_cost
             if final or need_best or due:
                 state = {"params": params, "opt_state": opt_state,
@@ -210,8 +210,11 @@ def train_flow_fused(flow, key, data_source, *, max_epochs=4000,
                 save_cost = time.time() - ts
                 last_save_t = time.time()
             if need_best:
-                best_logprob = logprob
                 copy_checkpoint(checkpoint_path + ".last", checkpoint_path)
+        if need_best:
+            # tracked even without a checkpoint path, so history
+            # ["best_logprob"] is never the -inf sentinel after training
+            best_logprob = logprob
     history = {"losses": np.asarray(losses), "best_logprob": best_logprob,
                "steps_per_s": (max_epochs - start_epoch) / (time.time() - t0)}
     if mixing:

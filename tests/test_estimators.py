@@ -160,3 +160,26 @@ def test_bulk_ess_per_dim_shapes():
     np.testing.assert_allclose(
         float(per[2]), float(bulk_ess(x[:, :, 2])), rtol=1e-6
     )
+
+
+def test_bulk_ess_splits_chains():
+    """ADVICE r2: Stan's rank-normalized ESS is defined on SPLIT chains.
+    Chains that trend within the run (first half low, second half high,
+    identically across chains) look well-mixed unsplit -- the pooled rank
+    autocovariance decays -- but split-ESS must collapse because the two
+    halves become chains with wildly different means."""
+    import numpy as np
+    from normalizingflow_tpu.estimators.ess import (
+        _rank_normalize, _split_chains, bulk_ess, effective_sample_size,
+    )
+
+    rng = np.random.default_rng(0)
+    n, m = 512, 8
+    trend = np.linspace(-3.0, 3.0, n)[:, None]  # shared within-run drift
+    x = jnp.asarray(trend + rng.normal(size=(n, m)))
+    unsplit = float(effective_sample_size(_rank_normalize(x)))
+    split = float(bulk_ess(x))
+    assert split < 0.6 * unsplit, (split, unsplit)
+    # iid chains: splitting must NOT materially deflate ESS
+    iid = jnp.asarray(rng.normal(size=(n, m)))
+    assert float(bulk_ess(iid)) > 0.5 * n * m

@@ -177,9 +177,42 @@ ALL = ["Gaussian", "GaussianMixture", "Gaussian_rnvp", "Einstein",
        "Phi4"]  # Phi4: beyond-reference config (BASELINE config 5)
 
 
+def status_of(r):
+    """Honest per-config verdict (VERDICT r2 weak item 2).
+
+    Step success alone is not parity: the reference's own quality check is
+    the held-out logp gap (examples/fe.py:43), and for configs whose target
+    is an exactly-normalized density EVERY estimator must return ~0 — the
+    one-sided Zwanzig estimates (md/nf) are the sensitive ones (BAR/MBAR
+    use two-sided information and look fine even under a mediocre flow).
+    """
+    bad_steps = [k for k, s in r["steps"].items() if not s.get("ok")]
+    if bad_steps:
+        return "FAIL: " + ",".join(bad_steps)
+    issues = []
+    g, t = r.get("logp_gen"), r.get("logp_test")
+    if g is not None and t is not None and abs(g - t) > 0.2:
+        issues.append(f"gap={g - t:+.2f}")
+    if r["config"] in EXACT_ZERO:
+        for k, tol in (("bar", 0.05), ("emus", 0.05),
+                       ("md", 0.15), ("nf", 0.15)):
+            if k in r and abs(r[k]) > tol:
+                issues.append(f"{k}={r[k]:.3f}")
+    return "ok" if not issues else "weak-fit: " + ", ".join(issues)
+
+
 def render(rows):
+    have = {r["config"] for r in rows}
+    missing = [n for n in ALL if n not in have]
+    coverage = (
+        f"Campaign coverage: {len(have)}/{len(ALL)} configs have rows."
+        + (f" Missing (not yet run): {', '.join(missing)}." if missing
+           else " All configs ran end-to-end.")
+    )
     lines = [
         "# PARITY_RESULTS — the 10 reference configs (+ Phi4) end-to-end",
+        "",
+        coverage,
         "",
         "Produced by `python tools/parity.py` on the single tunneled TPU "
         "v5e chip; step logs in `runs/parity/logs/`. Workflow per config: "
@@ -209,9 +242,7 @@ def render(rows):
         exp = "0 (exact)" if r["config"] in EXACT_ZERO else "consistency"
         nt = (f"{r['bar_mean']:.4f} ± {r['bar_std']:.4f} (n={r['ntrials']})"
               if "bar_mean" in r else "—")
-        ok = all(s.get("ok") for s in r["steps"].values())
-        status = "ok" if ok else "FAIL: " + ",".join(
-            k for k, s in r["steps"].items() if not s.get("ok"))
+        status = status_of(r)
         lines.append(
             f"| {r['config']} | "
             f"{g if g is None else f'{g:.2f}'} | "
