@@ -114,6 +114,22 @@ def main(argv=None):
         "logp of generated data vs testing data:",
         float(jnp.mean(q1)), float(jnp.mean(q2)),
     )
+    # Absolute calibration no reference config has: the surrogate GFF data
+    # density is EXACTLY normalized (targets/gff.py), so the flow's held-out
+    # logp can be compared to the true density, not just to itself.
+    from ..targets.gff import GaussianField
+
+    ds = cfg.dataset
+    _, L, _ = field_shape(cfg)
+    gff = GaussianField(
+        L=L, channels=ds.channels,
+        mass=ds.mass if ds.mass is not None else (0.5, 1.0),
+    )
+    exact = float(jnp.mean(gff.log_prob(x2.reshape(len(x2), -1))))
+    print(
+        f"exact GFF logp of testing data: {exact:.4f} "
+        f"(flow - exact gap: {float(jnp.mean(q2)) - exact:+.4f})"
+    )
     return 0
 
 
