@@ -54,15 +54,18 @@ def train_flow_fused(flow, key, data_source, *, max_epochs=4000,
 
     `hmc_mixer`, if given, is called as hmc_mixer(key, params) ->
     (data (m, dim), acc_prob) every `mix_every` epochs (default
-    2*output_freq); when acc_prob lands in (0.3, 0.6) the subsequent
-    training batches are drawn from that HMC-relaxed data instead of the
-    dataset -- the reference's acceptance-gated mixing policy
-    (applications/src/train.py:14-19). Divergence by design: the reference
-    checks the cadence every epoch; here the check happens at chunk
-    boundaries (chunks are >=400 steps to stay in XLA's rolled-loop
-    regime), so the effective cadence is max(mix_every, chunk). The gate
-    flag rides into the jitted chunk as a traced scalar, so toggling it
-    never recompiles.
+    2*output_freq); when acc_prob lands in (0.3, 0.6), the MIX EPOCH's
+    batch (and only that one) is drawn from the HMC-relaxed data instead of
+    the dataset -- exactly the reference's acceptance-gated mixing policy
+    (applications/src/train.py:14-19: the swap applies to the single epoch
+    where i % (2*output_freq) == 0; every other epoch samples the dataset).
+    Round 2 mistakenly fed relaxed data to EVERY batch until the next
+    check (>= 400 epochs) -- observed to blow the loss up 100x on LJ when
+    the gate first passed. Divergence by design: the reference checks the
+    cadence every epoch; here the check happens at chunk boundaries
+    (chunks are >=400 steps to stay in XLA's rolled-loop regime), so the
+    effective cadence is max(mix_every, chunk). The gate flag rides into
+    the jitted chunk as a traced scalar, so toggling it never recompiles.
     """
     k_init, key = jax.random.split(key)
     params = init_params if init_params is not None else flow.init(k_init)
@@ -111,7 +114,7 @@ def train_flow_fused(flow, key, data_source, *, max_epochs=4000,
     # (they rebind both names to the returned arrays).
     @partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0, 1))
     def run_chunk(params, opt_state, key, base, n_steps, *mix):
-        def get_batch(k):
+        def get_batch(k, i):
             x = sample_batch(k)
             if mixing:
                 mix_buf, use_mix = mix
@@ -119,13 +122,16 @@ def train_flow_fused(flow, key, data_source, *, max_epochs=4000,
                     jax.random.fold_in(k, 1), (batch_size,), 0,
                     mix_buf.shape[0],
                 )
-                x = jnp.where(use_mix, jnp.take(mix_buf, idx, axis=0), x)
+                # Only the mix epoch itself (step 0 of this chunk) trains on
+                # relaxed data -- reference train.py:14-19 semantics.
+                x = jnp.where(use_mix & (i == 0),
+                              jnp.take(mix_buf, idx, axis=0), x)
             return x
 
         def body(i, carry):
             params, opt_state, _, sums = carry
             k = jax.random.fold_in(key, base + i)
-            x = get_batch(k)
+            x = get_batch(k, i)
             (loss, aux), grads = jax.value_and_grad(
                 lambda p: forward_kl_loss(flow, p, x), has_aux=True
             )(params)
