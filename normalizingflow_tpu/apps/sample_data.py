@@ -46,6 +46,16 @@ def generate(cfg, nframes=2000, chains=64, thin=2, seed=0):
         num_leapfrog=10, thin=thin,
     )
     frames = np.asarray(res.samples).reshape(-1, init.shape[1])[:nframes]
+    # Periodic systems: HMC positions random-walk out of the box (the
+    # potential is minimum-image periodic, so energies don't care) -- but
+    # the flow's spline domain is [-L/2, L/2] with identity tails, and
+    # LAMMPS (the reference's data source) wraps coordinates. Un-wrapped,
+    # ~13%% of LJ coordinates land outside the box and training plateaus
+    # ~600 nats below a trivial Gaussian fit. Wrap by minimum image, the
+    # same convention the potentials and the Einstein prior use.
+    box = getattr(target, "boxlength", None)
+    if box:
+        frames = frames - np.round(frames / box) * box
     return frames, float(res.accept_rate)
 
 

@@ -42,6 +42,12 @@ def collect_hmc_data(key, flow, params, target, n_chains=8, n_steps=500,
         step_size=step_size, num_leapfrog=num_leapfrog,
     )
     data = res.samples[burnin:].reshape(-1, x0.shape[1])
+    # Keep relaxed positions inside the periodic box (minimum image) so the
+    # mixed training data stays in the flow's spline domain -- see
+    # apps/sample_data.generate.
+    box = getattr(target, "boxlength", None)
+    if box:
+        data = data - jnp.round(data / box) * box
     dim = x0.shape[1]
     npart = n_particles if n_particles is not None else dim // 3
     if output_dir is not None and npart * 3 == dim:
@@ -106,6 +112,11 @@ def relaxation_step(key, flow, params, target, traj, kT=1.0, path_len=12,
     p0 = jax.random.normal(k_mom, traj.shape) * jnp.sqrt(soft_factor / beta
                                                          if beta > 0 else 1.0)
     relaxed = jax.vmap(leapfrog_frame)(traj, p0)
+    box = getattr(target, "boxlength", None)
+    if box:
+        # minimum-image wrap: energies are invariant, but downstream flow
+        # logp evaluation needs positions inside the spline domain
+        relaxed = relaxed - jnp.round(relaxed / box) * box
     q_after = -target.potential(relaxed) * beta
     q_learned = integrate_out_v(
         k_v, flow, params, target, relaxed, kT=kT, path_len=path_len,
@@ -153,6 +164,10 @@ def integrate_out_v(key, flow, params, target, frames, kT=1.0, npoints=10,
     ps = jax.random.normal(key, (npoints, n, dim)) * jnp.sqrt(
         soft_factor / beta)
     ends = jax.vmap(lambda p: jax.vmap(endpoint)(frames, p))(ps)
+    box = getattr(target, "boxlength", None)
+    if box:
+        # keep endpoints in the spline domain (see relaxation_step)
+        ends = ends - jnp.round(ends / box) * box
     # One flat batch (not vmap) so the flow's fused RQS Pallas path applies.
     lps = flow.log_prob(params, ends.reshape(npoints * n, dim))
     lps = lps.reshape(npoints, n)

@@ -124,9 +124,26 @@ def run_config(name):
             row["steps"][step_name]["tail"] = tail
         return ok
 
+    # NFTPU_PARITY_SKIP_DATA=1 reuses existing dataset files instead of
+    # regenerating (campaign resumes after an interruption; sample_data is
+    # seeded, so regeneration would produce the same frames anyway).
+    skip_data = os.environ.get("NFTPU_PARITY_SKIP_DATA") == "1"
+
+    def have(*paths):
+        return skip_data and all(
+            p and os.path.exists(os.path.join(REPO, p)) for p in paths
+        )
+
     if name in ("LJ", "Fe_100K", "Fe_400K", "Fe_700K", "Phi4"):
-        if not step("data",
-                    ["normalizingflow_tpu.apps.sample_data", cfg, "2000"]):
+        import yaml
+
+        with open(os.path.join(REPO, cfg)) as fh:
+            ds = yaml.safe_load(fh)["dataset"]
+        if have(ds.get("training_data"), ds.get("testing_data")):
+            row["steps"]["data"] = {"ok": True, "seconds": 0.0,
+                                    "reused": True}
+        elif not step("data",
+                      ["normalizingflow_tpu.apps.sample_data", cfg, "2000"]):
             return row
         if name in ("LJ", "Fe_400K"):
             # >= 3 independent datasets for fe_diff_ntrials
@@ -135,6 +152,10 @@ def run_config(name):
                          else "Fe_400K_test.npy")
             for i in (1, 2, 3):
                 out_path = f"{base}/run_{i}/{test_name}"
+                if have(out_path):
+                    row["steps"][f"data_run{i}"] = {
+                        "ok": True, "seconds": 0.0, "reused": True}
+                    continue
                 if not step(
                     f"data_run{i}",
                     ["normalizingflow_tpu.apps.sample_data", cfg, "500",
