@@ -124,19 +124,19 @@ def hmc_kernel(logprob_fn, step_size, num_leapfrog, inv_mass_diag,
         log_accept = jnp.minimum(0.0, d_energy)
         accept_prob = jnp.exp(log_accept)
         u = jax.random.uniform(k_acc, (), state.position.dtype)
-        accepted = jnp.log(u) < log_accept
+        # Divergent (NaN) proposals count as rejected; folding the finite
+        # guard into ONE select mask halves the elementwise select passes
+        # over (position, logprob, grad) -- part of the ~90 us/draw of
+        # non-gradient glue in PERF.md's draw budget.
+        finite = jnp.isfinite(h_new)
+        accepted = (jnp.log(u) < log_accept) & finite
         new_state = HMCState(
             position=jnp.where(accepted, q, state.position),
             log_prob=jnp.where(accepted, lp_new, state.log_prob),
             grad=jnp.where(accepted, g_new, state.grad),
         )
-        # Guard against divergent (NaN) proposals: treat as rejected.
-        finite = jnp.isfinite(h_new)
-        new_state = jax.tree.map(
-            lambda n, o: jnp.where(finite, n, o), new_state, state
-        )
         accept_prob = jnp.where(finite, accept_prob, 0.0)
-        return new_state, HMCInfo(accept_prob, accepted & finite, d_energy)
+        return new_state, HMCInfo(accept_prob, accepted, d_energy)
 
     return kernel
 

@@ -80,3 +80,40 @@ def test_lammps_writer(tmp_path):
     write_lammps_coord(path, traj, 2, append=False)
     lines = open(path).read().strip().split("\n")
     assert lines[0].startswith("1 1 ") and lines[1].startswith("2 1 ")
+
+
+def test_sample_data_wraps_periodic_positions(tmp_path):
+    """apps.sample_data must write minimum-image-wrapped frames for periodic
+    targets: HMC positions random-walk out of the box (energies are
+    min-image invariant), but the flow's spline domain is [-L/2, L/2] and
+    the reference's LAMMPS data is always wrapped."""
+    import jax
+    import numpy as np
+
+    from normalizingflow_tpu.apps.sample_data import generate
+    from normalizingflow_tpu.config import load_config
+
+    cfg_path = tmp_path / "lj_tiny.yaml"
+    cfg_path.write_text("""
+device: cpu
+dataset:
+  name: lj_tiny
+  potential: LJ
+  nparticles: 4
+  kT: 4.0
+  rho: 0.8
+  cutoff: 1.6
+flow: {type: RealNVP, nlayers: 1}
+prior:
+  type: EinsteinCrystal
+  centers: [[-0.4, -0.4, -0.4], [0.4, 0.4, -0.4], [0.4, -0.4, 0.4], [-0.4, 0.4, 0.4]]
+  alpha: 50
+""")
+    cfg = load_config(str(cfg_path))
+    frames, acc = generate(cfg, nframes=64, chains=32, thin=1, seed=0)
+    b = (4.0 / (8.0 * 0.8)) ** (1.0 / 3.0)
+    assert frames.shape[1] == 12
+    assert np.all(np.abs(frames) <= b + 1e-6), (
+        np.abs(frames).max(), b)
+    # hot + loose box: without wrapping, random-walk drift past the box is
+    # essentially certain, so this bound failing was the round-2 behavior
