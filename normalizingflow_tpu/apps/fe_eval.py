@@ -32,12 +32,14 @@ def generate_from_nf(flow, params, key, nsamples, batchsize=500):
     so any requested nsamples is honored exactly -- the reference floors
     (test.py:14) and silently under-delivers for non-multiples.
     """
-    sample = jax.jit(
-        lambda k: flow.sample(params, k, batchsize), static_argnums=()
-    )
+    # params MUST be a jit argument, not a closure: closed-over arrays are
+    # embedded in the HLO as literal constants (~350 MB for the Fe flow),
+    # which blows past the remote-compile tunnel's request-body limit
+    # (HTTP 413) and bloats compile time.
+    sample = jax.jit(lambda p, k: flow.sample(p, k, batchsize))
     xs, lps = [], []
     for i in range(-(-nsamples // batchsize)):
-        x, log_px, _ = sample(jax.random.fold_in(key, i))
+        x, log_px, _ = sample(params, jax.random.fold_in(key, i))
         xs.append(x)
         lps.append(log_px)
     return jnp.concatenate(xs)[:nsamples], jnp.concatenate(lps)[:nsamples]
@@ -45,9 +47,9 @@ def generate_from_nf(flow, params, key, nsamples, batchsize=500):
 
 def evaluate(flow, params, x, batchsize=500):
     """Flow log-density of every row of x, batched; exact length len(x)."""
-    lp = jax.jit(lambda xb: flow.log_prob(params, xb))
+    lp = jax.jit(lambda p, xb: flow.log_prob(p, xb))
     outs = [
-        lp(x[i * batchsize : (i + 1) * batchsize])
+        lp(params, x[i * batchsize : (i + 1) * batchsize])
         for i in range(-(-len(x) // batchsize))
     ]
     return jnp.concatenate(outs)[: len(x)]

@@ -40,6 +40,50 @@ def _uniform(key, shape, bound, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -1.0, 1.0) * bound
 
 
+# The TPU compiler fully unrolls statically-bounded loops with trip counts
+# roughly in [130, 1500] (see CLAUDE.md): an AR inverse at dim 162 (Fe,
+# 161-step scan) compiles for minutes and bloats the HLO. Keep every scan's
+# trip count <= this by nesting (outer chunks x inner steps).
+_SCAN_CHUNK = 128
+
+
+def _chunked_index_scan(step, carry, dim, chunk=_SCAN_CHUNK):
+    """Run `step(carry, i) -> (carry, None)` for i = 1..dim-1 with every
+    lax.scan trip count <= chunk.
+
+    For dim-1 > chunk the index range is padded to n_outer*c (c <= chunk) and
+    scanned as a 2-level nest; padded steps run `step` with i clamped to
+    dim-1 (idempotent for AR inverses: all inputs of dim-1 are already
+    final) and their carry update is masked out, so results are identical to
+    the flat scan.
+    """
+    n = dim - 1
+    if n <= chunk:
+        carry, _ = jax.lax.scan(step, carry, jnp.arange(1, dim))
+        return carry
+    n_outer = -(-n // chunk)
+    c = -(-n // n_outer)
+    pad = n_outer * c - n
+    idx = jnp.concatenate(
+        [jnp.arange(1, dim), jnp.full((pad,), dim, dtype=jnp.int32)]
+    ).reshape(n_outer, c)
+
+    def masked_step(carry, i):
+        valid = i < dim
+        new_carry, _ = step(carry, jnp.minimum(i, dim - 1))
+        carry = jax.tree.map(
+            lambda new, old: jnp.where(valid, new, old), new_carry, carry
+        )
+        return carry, None
+
+    def outer(carry, idx_chunk):
+        carry, _ = jax.lax.scan(masked_step, carry, idx_chunk)
+        return carry, None
+
+    carry, _ = jax.lax.scan(outer, carry, idx)
+    return carry
+
+
 class _MaskedStackedMLPs:
     """dim-1 independent 3-layer tanh MLPs with autoregressive input masking.
 
@@ -222,9 +266,7 @@ class SplineAR(Bijector):
             x_partial = x_partial.at[:, i].set(xi)
             return (x_partial, log_det + ld), None
 
-        (x, log_det), _ = jax.lax.scan(
-            step, (x_init, ld0), jnp.arange(1, self.dim)
-        )
+        x, log_det = _chunked_index_scan(step, (x_init, ld0), self.dim)
         return x, log_det
 
     def __repr__(self):
@@ -291,9 +333,7 @@ class MaskedAffineAR(Bijector):
             x_partial = x_partial.at[:, i].set(xi)
             return (x_partial, log_det + alpha), None
 
-        (x, log_det), _ = jax.lax.scan(
-            step, (x_init, ld0), jnp.arange(1, self.dim)
-        )
+        x, log_det = _chunked_index_scan(step, (x_init, ld0), self.dim)
         return x, log_det
 
     def __repr__(self):

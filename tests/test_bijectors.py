@@ -83,6 +83,37 @@ def test_spline_ar_dim1():
     _roundtrip(bij, 4, dim=1)
 
 
+def test_spline_ar_chunked_inverse_matches_flat():
+    """dim-1 > 128 triggers the 2-level chunked inverse scan (TPU loop-unroll
+    and HLO-size mitigation, autoregressive._chunked_index_scan); it must
+    produce exactly the flat scan's result. dim=150 pads 2x75 with one
+    masked step."""
+    from normalizingflow_tpu.bijectors import autoregressive as ar
+
+    dim = 150
+    bij = SplineAR(dim, num_bins=4, tail_bound=3.0, hidden_dim=6)
+    kp, kx = jax.random.split(jax.random.PRNGKey(11))
+    params = bij.init(kp)
+    z = jax.random.normal(kx, (3, dim)) * 2.0
+    x_chunked, ld_chunked = bij.inverse(params, z)
+
+    flat = ar._chunked_index_scan
+    try:
+        ar._chunked_index_scan = lambda step, carry, d, chunk=0: flat(
+            step, carry, d, chunk=10_000)
+        x_flat, ld_flat = bij.inverse(params, z)
+    finally:
+        ar._chunked_index_scan = flat
+
+    np.testing.assert_allclose(np.asarray(x_chunked), np.asarray(x_flat),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(ld_chunked), np.asarray(ld_flat),
+                               rtol=0, atol=0)
+    # and the roundtrip still holds
+    y, ld_f = bij.forward(params, x_chunked)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(z), atol=1e-4)
+
+
 def test_masked_affine_ar():
     bij = MaskedAffineAR(DIM, hidden_dim=8)
     params, x = _roundtrip(bij, 5)
