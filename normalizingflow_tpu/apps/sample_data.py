@@ -24,7 +24,13 @@ from ..config import infer_boxlength, load_config, build_potential
 from ..mcmc import run_hmc
 
 
-def generate(cfg, nframes=2000, chains=64, thin=2, seed=0):
+def generate(cfg, nframes=2000, chains=256, thin=2, seed=0):
+    # chains=256: data-gen wall-clock is dominated by the 500-step warmup,
+    # which is chain-vectorized -- 4x the chains gives 4x the frames for
+    # free. More (and more independent) frames matter: an NSF_AR at Fe
+    # scale (88M params) trained 15000 epochs on 1600 frames MEMORIZES them
+    # (train logp +266 vs held-out -4 at identical energies); at 8000
+    # frames the train/held-out gap closes (see PARITY_RESULTS.md).
     b, boxlength = infer_boxlength(cfg.dataset)
     prior = build_potential(
         cfg.prior.type, cfg.prior, cfg.dataset, boxlength=boxlength

@@ -144,7 +144,8 @@ def run_config(name):
             row["steps"]["data"] = {"ok": True, "seconds": 0.0,
                                     "reused": True}
         elif not step("data",
-                      ["normalizingflow_tpu.apps.sample_data", cfg, "2000"]):
+                      ["normalizingflow_tpu.apps.sample_data", cfg,
+                       "10000"]):
             return row
         if name in ("LJ", "Fe_400K"):
             # >= 3 independent datasets for fe_diff_ntrials
