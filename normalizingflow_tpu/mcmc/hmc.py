@@ -141,6 +141,55 @@ def hmc_kernel(logprob_fn, step_size, num_leapfrog, inv_mass_diag,
     return kernel
 
 
+def hmc_kernel_batched(logprob_fn, step_size, num_leapfrog, inv_mass_diag,
+                       step_jitter=0.2):
+    """One HMC transition over a whole chain batch: kernel(keys, state).
+
+    Identical math and PRNG stream to `jax.vmap(hmc_kernel(...))` -- the
+    momentum/jitter/accept draws still come from the same per-chain key
+    splits -- but the Metropolis accept + state select runs as ONE fused
+    Pallas pass over the batch (ops/hmc_pallas.py) instead of three separate
+    `where` selects: the non-gradient glue is memory-bound on the
+    (chains, dim) state (PERF.md draw budget), and fusing it cuts its HBM
+    round-trips to the minimum.
+    """
+    logprob_grad_fn = jax.value_and_grad(logprob_fn)
+
+    def propose(key, state):
+        k_mom, k_acc, k_eps = jax.random.split(key, 3)
+        eps = step_size * (
+            1.0 + step_jitter * jax.random.uniform(
+                k_eps, (), state.position.dtype, -1.0, 1.0
+            )
+        )
+        sqrt_mass = jnp.sqrt(1.0 / inv_mass_diag)
+        momentum = sqrt_mass * jax.random.normal(
+            k_mom, state.position.shape, state.position.dtype
+        )
+        q, p, lp_new, g_new = leapfrog(
+            logprob_grad_fn, state.position, momentum, state.grad,
+            eps, num_leapfrog, inv_mass_diag,
+        )
+        h_old = -state.log_prob + 0.5 * jnp.sum(
+            inv_mass_diag * momentum * momentum
+        )
+        log_u = jnp.log(jax.random.uniform(k_acc, (), state.position.dtype))
+        return q, p, lp_new, g_new, h_old, log_u
+
+    from ..ops.hmc_pallas import accept_select
+
+    def kernel(keys, state):
+        q, p, lp_new, g_new, h_old, log_u = jax.vmap(propose)(keys, state)
+        pos, lp, g, accept_prob, accepted, d_energy = accept_select(
+            q, p, g_new, state.position, state.grad, lp_new,
+            state.log_prob, h_old, log_u, inv_mass_diag,
+        )
+        return (HMCState(pos, lp, g),
+                HMCInfo(accept_prob, accepted, d_energy))
+
+    return kernel
+
+
 def padded_length(length, chunk=128):
     """Trip count chunked_scan actually runs: length rounded up to chunk.
 
@@ -232,9 +281,8 @@ def run_hmc(key, logprob_fn, init_position, num_samples, num_warmup=500,
     state = jax.vmap(lambda q: hmc_init(logprob_fn, q))(init_position)
 
     def make_kernel(eps, inv_mass):
-        single = hmc_kernel(logprob_fn, eps, num_leapfrog, inv_mass,
-                            step_jitter=step_jitter)
-        return lambda keys, st: jax.vmap(single)(keys, st)
+        return hmc_kernel_batched(logprob_fn, eps, num_leapfrog, inv_mass,
+                                  step_jitter=step_jitter)
 
     # ------------------------------------------------------------- warmup
     in_window, window_end = warmup_schedule(num_warmup)
