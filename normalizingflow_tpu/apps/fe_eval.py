@@ -76,13 +76,18 @@ def fe_diff(flow, params, potential, key, nsamples, n_particles, kT=1.0,
     k_gen, k_data, k_relax0, k_relax1 = jax.random.split(key, 4)
     if relaxation:
         from ..mcmc.relaxation import relaxation_step
+
+        # One jitted program serves both ensembles (same (nsamples, dim)
+        # shape); eager execution here costs one ~100 ms tunnel dispatch
+        # per primitive. params is an ARGUMENT, not a closure -- see
+        # generate_from_nf.
+        relax_fn = jax.jit(lambda k, p, x: relaxation_step(
+            k, flow, p, potential, x, kT=kT, **(relaxation_kwargs or {})
+        ))
     # state 0 = flow ensemble
     x0, q00 = generate_from_nf(flow, params, k_gen, nsamples)
     if relaxation:
-        relax = relaxation_step(
-            k_relax0, flow, params, potential, x0, kT=kT,
-            **(relaxation_kwargs or {}),
-        )
+        relax = relax_fn(k_relax0, params, x0)
         x0, q00, q01 = relax.positions, relax.q_learned, relax.q_energy
     else:
         q01 = -potential.potential(x0) / kT
@@ -90,10 +95,7 @@ def fe_diff(flow, params, potential, key, nsamples, n_particles, kT=1.0,
     x1 = potential.sample(k_data, nsamples)
     x1 = x1.reshape(len(x1), -1)
     if relaxation:
-        relax1 = relaxation_step(
-            k_relax1, flow, params, potential, x1, kT=kT,
-            **(relaxation_kwargs or {}),
-        )
+        relax1 = relax_fn(k_relax1, params, x1.astype(x0.dtype))
         x1, q10, q11 = relax1.positions, relax1.q_learned, relax1.q_energy
     else:
         q10 = evaluate(flow, params, x1)
