@@ -73,7 +73,8 @@ class RelaxationResult(NamedTuple):
 
 
 def relaxation_step(key, flow, params, target, traj, kT=1.0, path_len=12,
-                    step_size=0.01, soft_factor=1000.0):
+                    step_size=1e-3, soft_factor=1000.0, max_disp=0.05,
+                    damping=0.5):
     """Short HMC relaxation of each frame at a softened temperature.
 
     Counterpart of dynamics.relaxation_step (dynamics.py:3-23): one
@@ -82,6 +83,17 @@ def relaxation_step(key, flow, params, target, traj, kT=1.0, path_len=12,
     recorded before/after, and the flow log-density of the relaxed frame
     computed with the velocity marginalized out (integrate_out_v).
     All frames relax in parallel as vmapped chains.
+
+    `max_disp` caps the per-coordinate displacement of every leapfrog step
+    (the LAMMPS `fix nve/limit` mechanism). The reference integrates
+    through LAMMPS with physical masses (55.845 amu Fe, dynamics.py:15) and
+    metal-units timesteps, which bounds per-step motion implicitly; in
+    reduced units with unit mass, a flow sample with overlapping particles
+    has |grad U| ~ 1e9 and one uncapped kick ejects the whole frame to
+    NaN (observed: LJ fe_diff returned NaN for all four estimators). The
+    cap keeps the map finite and deterministic -- and since BOTH ensembles
+    are pushed through the identical kernel (test.py:36,41), capping does
+    not bias the free-energy difference.
     """
     n, dim = traj.shape
     k_mom, k_v = jax.random.split(key)
@@ -96,10 +108,11 @@ def relaxation_step(key, flow, params, target, traj, kT=1.0, path_len=12,
     def leapfrog_frame(q0, p0):
         def step(carry, _):
             q, p, g = carry
-            p = p + 0.5 * step_size * g
-            q = q + step_size * p
+            p = damping * (p + 0.5 * step_size * g)
+            dq = jnp.clip(step_size * p, -max_disp, max_disp)
+            q = q + dq
             _, g = logprob_grad(q)
-            p = p + 0.5 * step_size * g
+            p = damping * (p + 0.5 * step_size * g)
             return (q, p, g), None
 
         _, g0 = logprob_grad(q0)
@@ -120,13 +133,15 @@ def relaxation_step(key, flow, params, target, traj, kT=1.0, path_len=12,
     q_after = -target.potential(relaxed) * beta
     q_learned = integrate_out_v(
         k_v, flow, params, target, relaxed, kT=kT, path_len=path_len,
-        step_size=step_size, soft_factor=soft_factor,
+        step_size=step_size, soft_factor=soft_factor, max_disp=max_disp,
+        damping=damping,
     )
     return RelaxationResult(relaxed, q_learned, q_after, q_before)
 
 
 def integrate_out_v(key, flow, params, target, frames, kT=1.0, npoints=10,
-                    path_len=12, step_size=0.01, soft_factor=1000.0):
+                    path_len=12, step_size=1e-3, soft_factor=1000.0,
+                    max_disp=0.05, damping=0.5):
     """Marginalize the momentum of the relaxation map through the flow.
 
     Counterpart of dynamics.integrate_out_v (dynamics.py:26-36): for each
@@ -150,10 +165,14 @@ def integrate_out_v(key, flow, params, target, frames, kT=1.0, npoints=10,
     def endpoint(q0, p0):
         def step(carry, _):
             q, p, g = carry
-            p = p + 0.5 * step_size * g
-            q = q + step_size * p
+            # identical damped/capped kernel as relaxation_step -- the
+            # marginalized kernel must be the one that produced the
+            # relaxed positions
+            p = damping * (p + 0.5 * step_size * g)
+            dq = jnp.clip(step_size * p, -max_disp, max_disp)
+            q = q + dq
             _, g = logprob_grad(q)
-            p = p + 0.5 * step_size * g
+            p = damping * (p + 0.5 * step_size * g)
             return (q, p, g), None
 
         _, g0 = logprob_grad(q0)

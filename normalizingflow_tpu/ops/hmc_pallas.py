@@ -114,6 +114,13 @@ def accept_select(q, p, g_new, pos_old, g_old, lp_new, lp_old, h_old, log_u,
     Dispatches to the Pallas kernel on TPU f32 (or when interpret=True for
     tests); the jnp reference everywhere else.
     """
+    import os
+
+    if os.environ.get("NFTPU_NO_FUSED_ACCEPT") == "1" and not interpret:
+        return _accept_select_ref(
+            q, p, g_new, pos_old, g_old, lp_new, lp_old, h_old, log_u,
+            inv_mass_diag,
+        )
     if (jax.default_backend() == "tpu" or interpret) \
             and q.dtype == jnp.float32:
         return _accept_select_pallas(

@@ -133,22 +133,50 @@ def test_relaxation_forwards_soft_factor_to_integrate_out_v(monkeypatch):
 
 def test_integrate_out_v_uses_soft_momenta():
     """With a huge soft_factor the endpoints scatter far from the frames,
-    so the marginalized logp must drop well below the direct flow logp."""
+    so the marginalized logp must drop well below the direct flow logp.
+    Cap/damping are disabled here to test the bare NVE kernel; the capped
+    default is covered by test_relaxation_caps_displacement."""
     flow, params, target = _flow_and_target()
     frames = jax.random.normal(jax.random.PRNGKey(22), (16, 4)) * 0.1
+    raw = dict(max_disp=1e9, damping=1.0)
     lp_soft = integrate_out_v(
         jax.random.PRNGKey(23), flow, params, target, frames, npoints=8,
-        path_len=4, step_size=0.05, soft_factor=1000.0,
+        path_len=4, step_size=0.05, soft_factor=1000.0, **raw,
     )
     lp_cold = integrate_out_v(
         jax.random.PRNGKey(23), flow, params, target, frames, npoints=8,
-        path_len=4, step_size=0.05, soft_factor=1e-6,
+        path_len=4, step_size=0.05, soft_factor=1e-6, **raw,
     )
     lp_direct = flow.log_prob(params, frames)
     np.testing.assert_allclose(
         np.asarray(lp_cold), np.asarray(lp_direct), atol=0.05
     )
     assert float(jnp.mean(lp_soft)) < float(jnp.mean(lp_direct)) - 1.0
+
+
+def test_relaxation_caps_displacement():
+    """The default kernel is displacement-capped (LAMMPS fix nve/limit
+    analog): even from a catastrophic-overlap frame (|grad U| astronomical),
+    every coordinate moves at most path_len * max_disp and the result stays
+    finite -- the NaN failure mode fe_diff hit on LJ flow samples."""
+
+    class Steep:
+        def potential(self, x):
+            # |grad| ~ 1e12 near the origin frames below; (B,) per frame
+            return 1.0 / (jnp.sum(x**2, axis=-1) + 1e-12) ** 3
+
+    flow, params, _ = _flow_and_target()
+    frames = jax.random.normal(jax.random.PRNGKey(30), (8, 4)) * 1e-3
+    res = relaxation_step(
+        jax.random.PRNGKey(31), flow, params, Steep(), frames,
+        kT=1.0, path_len=12, max_disp=0.05,
+    )
+    assert bool(jnp.all(jnp.isfinite(res.positions)))
+    assert bool(jnp.all(jnp.isfinite(res.q_learned)))
+    move = jnp.max(jnp.abs(res.positions - frames))
+    assert float(move) <= 12 * 0.05 + 1e-6
+    # and it actually relaxes: energies must drop
+    assert bool(jnp.all(res.q_energy > res.q_energy_before))
 
 
 def test_collect_hmc_data_writes_xyz(tmp_path):

@@ -166,8 +166,11 @@ def run_config(name):
                     return row
     if name in ("Polymer",):
         # Polymer + Polymer_rnvp share the same data files; generate once.
+        # 10k frames: GFF surrogate sampling is exact and cheap, and small
+        # datasets get memorized (see apps/sample_data.generate).
         if not step("data",
-                    ["normalizingflow_tpu.apps.polymer", cfg, "data"]):
+                    ["normalizingflow_tpu.apps.polymer", cfg, "data",
+                     "10000"]):
             return row
 
     # The reference's fe workflow trains WITHOUT HMC mixing (examples/
