@@ -239,6 +239,26 @@ def status_of(r):
     return "ok" if not issues else "weak-fit: " + ", ".join(issues)
 
 
+NOTES = [
+    "- **LJ held-out gap is site-hopping physics, not a training bug**: at "
+    "(rho=1.28, kT=2.0, N=32) the LJ solid sits near melting -- measured "
+    "per-coordinate displacement from lattice sites has std 0.32 (Lindemann "
+    "~0.1-0.15 x the 1.03 neighbor distance) and max 1.46 = half the box, "
+    "i.e. atoms exchange lattice sites in the data. A flow anchored to an "
+    "Einstein-site prior (the reference's architecture, LJ.yaml verbatim) "
+    "assigns astronomically low density to permuted-site frames, so "
+    "E_gen[logp] >> E_heldout[logp] while BAR/MBAR (two-sided) stay "
+    "reproducible (ntrials std ~0.12). The reference's own LJ setup has "
+    "identical physics; it publishes no numbers to compare. Data sanity: "
+    "U/kT mean +3.1 matches the harmonic estimate (-43 lattice + ~ +48 "
+    "thermal at kT=2 with the shifted r_c=1.6 potential).",
+    "- **Relaxation kernel (test.py:98 default for LJ/Fe)** is the "
+    "displacement-capped damped quench of mcmc/relaxation.py -- see its "
+    "docstring for why the reference's LAMMPS-NVE parameters cannot be "
+    "used verbatim in reduced units.",
+]
+
+
 def render(rows):
     have = {r["config"] for r in rows}
     missing = [n for n in ALL if n not in have]
@@ -288,7 +308,8 @@ def render(rows):
             f"{fmt('bar')} | {fmt('md')} | {fmt('nf')} | {fmt('emus')} | "
             f"{exp} | {nt} | {status} |"
         )
-    lines += ["", "## Step timings", ""]
+    lines += ["", "## Analysis notes", ""] + NOTES + [
+        "", "## Step timings", ""]
     for r in rows:
         steps = ", ".join(f"{k} {v['seconds']}s" for k, v in r["steps"].items())
         lines.append(f"- **{r['config']}**: {steps}")
