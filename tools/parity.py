@@ -117,6 +117,7 @@ def run_config(name):
 
     with open(os.path.join(REPO, cfg)) as fh:
         raw_cfg = yaml.safe_load(fh)
+    row["nparticles"] = raw_cfg["dataset"].get("nparticles")
 
     def step(step_name, argv, parser=None, timeout=3600):
         ok, out, dt = sh(name, step_name, argv, timeout)
@@ -210,6 +211,13 @@ def run_config(name):
 # configs whose target potential is a normalized negative log-density:
 # all Delta-F estimators must return exactly 0 per particle.
 EXACT_ZERO = {"Gaussian", "GaussianMixture", "Gaussian_rnvp", "Einstein"}
+
+# nparticles per config (normalizer for the logp-gap gate; rows written by
+# older runs may lack the field)
+NPARTICLES = {"Gaussian": 20, "GaussianMixture": 20, "Gaussian_rnvp": 20,
+              "Einstein": 32, "LJ": 32, "Fe_100K": 54, "Fe_400K": 54,
+              "Fe_700K": 54, "Polymer": 2048, "Polymer_rnvp": 2048,
+              "Phi4": 64}
 ALL = ["Gaussian", "GaussianMixture", "Gaussian_rnvp", "Einstein",
        "LJ", "Fe_100K", "Fe_400K", "Fe_700K", "Polymer", "Polymer_rnvp",
        "Phi4"]  # Phi4: beyond-reference config (BASELINE config 5)
@@ -229,8 +237,12 @@ def status_of(r):
         return "FAIL: " + ",".join(bad_steps)
     issues = []
     g, t = r.get("logp_gen"), r.get("logp_test")
-    if g is not None and t is not None and abs(g - t) > 0.2:
-        issues.append(f"gap={g - t:+.2f}")
+    npart = r.get("nparticles") or NPARTICLES.get(r["config"], 1)
+    # Gate the held-out gap PER PARTICLE (0.05 kT-nats): the reference's
+    # check prints absolute logp means (examples/fe.py:43) but a fixed
+    # absolute threshold cannot serve both 2-dim and 2048-dim configs.
+    if g is not None and t is not None and abs(g - t) / npart > 0.05:
+        issues.append(f"gap={g - t:+.2f} ({(g - t) / npart:+.3f}/ptcl)")
     if r["config"] in EXACT_ZERO:
         for k, tol in (("bar", 0.05), ("emus", 0.05),
                        ("md", 0.15), ("nf", 0.15)):
