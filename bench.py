@@ -149,15 +149,17 @@ def neutra_ess_run(flow, target, key, tag, leapfrog=LEAPFROG, draws=DRAWS,
 
     # Phase 2: timed run -- sampling + latent->data push in ONE jit (one
     # dispatch; the relay's fixed latency amortizes over the draws).
+    # params is a jit ARGUMENT (not a closure) per the no-params-closure
+    # convention (CLAUDE.md): closures embed weights as HLO constants.
     @jax.jit
-    def sample_and_push(seed, pos):
+    def sample_and_push(seed, pos, p):
         res = run_hmc(
-            jax.random.PRNGKey(seed), logprob, pos,
-            num_samples=draws, num_warmup=0,
+            jax.random.PRNGKey(seed), pullback_logprob(flow, p, target),
+            pos, num_samples=draws, num_warmup=0,
             step_size=float(adapt.step_size),
             inv_mass_diag=adapt.inv_mass_diag, num_leapfrog=leapfrog,
         )
-        x, _ = flow.inverse(params, res.samples.reshape(-1, dim))
+        x, _ = flow.inverse(p, res.samples.reshape(-1, dim))
         x = x.reshape(res.samples.shape)
         # 4-byte checksum: block_until_ready on this relay can report
         # readiness before execution finishes; fetching a VALUE that
@@ -165,9 +167,9 @@ def neutra_ess_run(flow, target, key, tag, leapfrog=LEAPFROG, draws=DRAWS,
         return x, res.accept_rate, jnp.sum(x[-1])
 
     pos = adapt.final_state.position
-    float(sample_and_push(3, pos)[2])  # compile + sync
+    float(sample_and_push(3, pos, params)[2])  # compile + sync
     t0 = time.time()
-    xs, accept_rate, chk = sample_and_push(4, pos)
+    xs, accept_rate, chk = sample_and_push(4, pos, params)
     float(chk)
     t_sample = time.time() - t0
 
@@ -215,22 +217,24 @@ def nuts_ess_line(flow, params, target, chains=4096, draws=256,
     )
     jax.block_until_ready(adapt.samples)
 
+    # params as a jit argument, not a closure (ADVICE r3; CLAUDE.md).
     @jax.jit
-    def sample_and_push(seed, pos):
+    def sample_and_push(seed, pos, p):
         res = run_nuts(
-            jax.random.PRNGKey(seed), logprob, pos, num_samples=draws,
-            num_warmup=0, step_size=float(adapt.step_size),
+            jax.random.PRNGKey(seed), pullback_logprob(flow, p, target),
+            pos, num_samples=draws, num_warmup=0,
+            step_size=float(adapt.step_size),
             max_depth=max_depth, inv_mass_diag=adapt.inv_mass_diag,
         )
-        x, _ = flow.inverse(params, res.samples.reshape(-1, dim))
+        x, _ = flow.inverse(p, res.samples.reshape(-1, dim))
         x = x.reshape(res.samples.shape)
         return (x, res.accept_rate, res.mean_depth, res.divergence_rate,
                 jnp.sum(x[-1]))
 
     pos = adapt.final_state.position
-    float(sample_and_push(23, pos)[4])  # compile + sync
+    float(sample_and_push(23, pos, params)[4])  # compile + sync
     t0 = time.time()
-    xs, accept, depth, div, chk = sample_and_push(24, pos)
+    xs, accept, depth, div, chk = sample_and_push(24, pos, params)
     float(chk)
     t_sample = time.time() - t0
 

@@ -106,7 +106,24 @@ def main(argv=None):
     flow, params, potential, cfg = load_trained(cfg)
     key = jax.random.PRNGKey(cfg.seed + 3)
     nsamples = 100
-    x1, q1 = generate_from_nf(flow, params, key, nsamples, batchsize=100)
+    # Sampling latency at 2048-dim (VERDICT r3 item 8): the NSF_AR inverse
+    # is a sequential scan over dims -- time one compiled program hot
+    # (second call of the SAME jit) separately from compile+trace.
+    import time as _time
+
+    sample = jax.jit(lambda p, k: flow.sample(p, k, nsamples))
+    t0 = _time.time()
+    x1, q1, _ = sample(params, key)
+    jax.block_until_ready(x1)
+    t_first = _time.time() - t0
+    t0 = _time.time()
+    x1, q1, _ = sample(params, jax.random.fold_in(key, 7))
+    jax.block_until_ready(x1)
+    t_hot = _time.time() - t0
+    print(f"sampling latency: {t_hot:.2f}s hot / {t_first:.2f}s "
+          f"incl-compile for {nsamples} frames of dim "
+          f"{cfg.dataset.nparticles * cfg.dataset.dim} "
+          f"({cfg.flow.type} inverse)")
     save_field(cfg, x1)
     x2 = potential.sample(jax.random.fold_in(key, 1), nsamples)
     q2 = evaluate(flow, params, x2.reshape(len(x2), -1))

@@ -353,12 +353,6 @@ def run_hmc(key, logprob_fn, init_position, num_samples, num_warmup=500,
         state, info = kernel(keys, state)
         return state, None
 
-    def sample_block(state, key):
-        """`thin` transitions, keep the last."""
-        keys = jax.random.split(key, thin)
-        state, _ = jax.lax.scan(sample_step, state, keys)
-        return state, (state.position, state.log_prob)
-
     def outer(carry, key):
         state, acc = carry
         keys = jax.random.split(key, chains)

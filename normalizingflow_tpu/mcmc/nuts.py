@@ -125,9 +125,18 @@ def _build_subtree(key, logprob_grad_fn, z_start, depth, eps, inv_mass,
         z = _leapfrog_one(logprob_grad_fn, s.z_end, eps, inv_mass)
         n = s.leaf  # index of this new leaf within the subtree
         h = _energy(z, inv_mass)
-        dh = h0 - h  # log multinomial weight of this leaf
-        diverged = ~jnp.isfinite(h) | (h - h0 > MAX_DELTA_ENERGY)
-        accept_prob = jnp.minimum(1.0, jnp.exp(jnp.minimum(dh, 0.0)))
+        # NaN guard (mirrors hmc.py's `finite` mask): a non-finite leaf
+        # energy must contribute weight exp(-inf)=0 and accept_prob 0 --
+        # NOT NaN. Without this, one divergent leaf poisons sum_accept,
+        # the chain-mean accept stat, and through da_update the adapted
+        # step size of EVERY subsequent transition (the r3 bench failure:
+        # divergence_rate 1.0, accept NaN).
+        finite = jnp.isfinite(h) & jnp.isfinite(h0)
+        dh = jnp.where(finite, h0 - h, -jnp.inf)  # log multinomial weight
+        diverged = ~finite | (h - h0 > MAX_DELTA_ENERGY)
+        accept_prob = jnp.where(
+            finite, jnp.minimum(1.0, jnp.exp(jnp.minimum(dh, 0.0))), 0.0
+        )
 
         # progressive multinomial proposal within the subtree
         log_sum_w = jnp.logaddexp(s.log_sum_w, dh)

@@ -24,6 +24,7 @@ agree elementwise, including NaN/divergent rows.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_N = 1024
+# ~7 (tile, d) f32 blocks (5 in + 2 out) must fit VMEM simultaneously;
+# budget half of the ~16 MB so the chain tile shrinks for large dim
+# (ADVICE r3: at d=2048 a fixed 1024-row tile would need ~56 MB).
+VMEM_BUDGET = 8 * 1024 * 1024
+
+# A/B escape hatch (PERF.md fusion comparison). Read ONCE at import:
+# reading it at trace time inside callers' jits means toggling the env var
+# after a program is cached silently has no effect (ADVICE r3).
+NO_FUSED_ACCEPT = os.environ.get("NFTPU_NO_FUSED_ACCEPT") == "1"
 
 
 def _accept_kernel(q_ref, p_ref, gnew_ref, pos_ref, gold_ref, lpnew_ref,
@@ -76,7 +86,7 @@ def _accept_select_pallas(q, p, g_new, pos_old, g_old, lp_new, lp_old,
                           h_old, log_u, inv_mass_diag, interpret=False):
     n, d = q.shape
     dtype = q.dtype
-    tile = min(TILE_N, n)
+    tile = min(TILE_N, n, max(8, VMEM_BUDGET // (7 * 4 * d) // 8 * 8))
     grid = (pl.cdiv(n, tile),)
     vec = lambda a: a.reshape(n, 1)
     nd_spec = pl.BlockSpec((tile, d), lambda i: (i, 0),
@@ -112,11 +122,10 @@ def accept_select(q, p, g_new, pos_old, g_old, lp_new, lp_old, h_old, log_u,
 
     Returns (position, log_prob, grad, accept_prob, accepted, d_energy).
     Dispatches to the Pallas kernel on TPU f32 (or when interpret=True for
-    tests); the jnp reference everywhere else.
+    tests); the jnp reference everywhere else. NFTPU_NO_FUSED_ACCEPT=1
+    (read at import) forces the jnp path for A/B comparisons.
     """
-    import os
-
-    if os.environ.get("NFTPU_NO_FUSED_ACCEPT") == "1" and not interpret:
+    if NO_FUSED_ACCEPT and not interpret:
         return _accept_select_ref(
             q, p, g_new, pos_old, g_old, lp_new, lp_old, h_old, log_u,
             inv_mass_diag,

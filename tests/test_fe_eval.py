@@ -11,6 +11,7 @@ Covers the round-2 fixes:
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import io_callback
 
 from normalizingflow_tpu import NormalizingFlow, bijectors, distributions
 from normalizingflow_tpu.apps.fe_eval import (
@@ -48,7 +49,13 @@ def test_evaluate_non_multiple_count():
 
 
 def test_fe_diff_relaxes_both_ensembles(monkeypatch):
-    """test.py:36 and test.py:41-42 relax traj0 AND traj1 identically."""
+    """test.py:36 and test.py:41-42 relax traj0 AND traj1 identically.
+
+    fe_diff jits the relaxation path (one program serves both ensembles),
+    so the spy sees tracers at trace time but must record the CONCRETE
+    trajectory of every execution -- io_callback fires once per run of the
+    compiled program, i.e. once per relaxed ensemble.
+    """
     import normalizingflow_tpu.mcmc.relaxation as relaxation_mod
 
     flow, params = _flow()
@@ -60,7 +67,9 @@ def test_fe_diff_relaxes_both_ensembles(monkeypatch):
     real = relaxation_mod.relaxation_step
 
     def spy(key, fl, pr, tg, traj, **kw):
-        calls.append(np.asarray(traj))
+        io_callback(
+            lambda a: calls.append(np.asarray(a)), None, traj, ordered=True
+        )
         return real(key, fl, pr, tg, traj, **kw)
 
     monkeypatch.setattr(relaxation_mod, "relaxation_step", spy)

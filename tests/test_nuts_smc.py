@@ -44,6 +44,33 @@ def test_nuts_adapts_to_anisotropy():
     assert float(res.divergence_rate) < 0.01
 
 
+def test_nuts_survives_nan_energies():
+    """Regression for the r3 bench failure: a NaN leaf energy must
+    contribute weight 0 / accept 0 (nuts.py NaN guard), NOT poison
+    sum_accept -> da_update -> step size for the rest of the run.
+
+    The target density is NaN outside x0 < 2, so with step 0.5 many
+    leapfrog leaves land in NaN territory during warmup."""
+    def logprob(x):
+        safe = -0.5 * jnp.sum(x * x)
+        return jnp.where(x[0] < 2.0, safe, jnp.nan)
+
+    init = jnp.zeros((32, 3))
+    res = run_nuts(
+        jax.random.PRNGKey(11), logprob, init, num_samples=300,
+        num_warmup=300, step_size=0.5, max_depth=6,
+    )
+    assert np.isfinite(float(res.accept_rate)), "accept stat poisoned by NaN"
+    assert np.isfinite(float(res.step_size)) and float(res.step_size) > 0
+    assert float(res.accept_rate) > 0.3
+    assert float(res.divergence_rate) < 0.9, "chains frozen at depth 1"
+    assert float(res.mean_depth) > 1.0
+    s = np.asarray(res.samples)
+    assert np.isfinite(s).all()
+    # still samples the (soft-truncated) Gaussian bulk on the safe coords
+    np.testing.assert_allclose(s[..., 1:].mean(), 0.0, atol=0.1)
+
+
 def test_nuts_explores_from_bad_init():
     """Chains initialized far in the tail must recover the bulk."""
     logprob = lambda x: -0.5 * jnp.sum(x * x)
