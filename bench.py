@@ -168,10 +168,16 @@ def neutra_ess_run(flow, target, key, tag, leapfrog=LEAPFROG, draws=DRAWS,
 
     pos = adapt.final_state.position
     float(sample_and_push(3, pos, params)[2])  # compile + sync
-    t0 = time.time()
-    xs, accept_rate, chk = sample_and_push(4, pos, params)
-    float(chk)
-    t_sample = time.time() - t0
+    # min-of-3: single-shot timings over the axon relay carry ~100 ms of
+    # dispatch jitter, which at ~0.9 s/run is a 10% noise band -- exactly
+    # the size of the unexplained r2->r3 "regression" (VERDICT r3 item 4).
+    times = []
+    for seed in (4, 5, 6):
+        t0 = time.time()
+        xs, accept_rate, chk = sample_and_push(seed, pos, params)
+        float(chk)
+        times.append(time.time() - t0)
+    t_sample = min(times)
 
     # Headline: Stan rank-normalized bulk ESS of x and x^2 (+ tail ESS of
     # the funnel-hardest coordinate); raw ESS reported alongside.
@@ -193,6 +199,7 @@ def neutra_ess_run(flow, target, key, tag, leapfrog=LEAPFROG, draws=DRAWS,
         "ess_tail_hardest_coord": round(t_ess, 1),
         "ess_cap": chains * draws,
         "sample_s": round(t_sample, 3),
+        "sample_s_all": [round(t, 3) for t in times],
         "train_s": round(t_train, 1),
         "final_reverse_kl": round(final_kl, 3),
         "accept": round(float(accept_rate), 3),
@@ -233,10 +240,13 @@ def nuts_ess_line(flow, params, target, chains=4096, draws=256,
 
     pos = adapt.final_state.position
     float(sample_and_push(23, pos, params)[4])  # compile + sync
-    t0 = time.time()
-    xs, accept, depth, div, chk = sample_and_push(24, pos, params)
-    float(chk)
-    t_sample = time.time() - t0
+    times = []
+    for seed in (24, 25, 26):
+        t0 = time.time()
+        xs, accept, depth, div, chk = sample_and_push(seed, pos, params)
+        float(chk)
+        times.append(time.time() - t0)
+    t_sample = min(times)
 
     bulk_x = bulk_ess_per_dim(xs)
     bulk_x2 = bulk_ess_per_dim(xs * xs)
@@ -249,6 +259,7 @@ def nuts_ess_line(flow, params, target, chains=4096, draws=256,
         "ess_min_bulk_x2": round(float(jnp.min(bulk_x2)), 1),
         "ess_cap": chains * draws,
         "sample_s": round(t_sample, 3),
+        "sample_s_all": [round(t, 3) for t in times],
         "mean_tree_depth": round(float(depth), 2),
         "divergence_rate": round(float(div), 4),
         "accept": round(float(accept), 3),

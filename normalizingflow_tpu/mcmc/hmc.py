@@ -147,11 +147,11 @@ def hmc_kernel_batched(logprob_fn, step_size, num_leapfrog, inv_mass_diag,
 
     Identical math and PRNG stream to `jax.vmap(hmc_kernel(...))` -- the
     momentum/jitter/accept draws still come from the same per-chain key
-    splits -- but the Metropolis accept + state select runs as ONE fused
-    Pallas pass over the batch (ops/hmc_pallas.py) instead of three separate
-    `where` selects: the non-gradient glue is memory-bound on the
-    (chains, dim) state (PERF.md draw budget), and fusing it cuts its HBM
-    round-trips to the minimum.
+    splits -- with the Metropolis accept + state select routed through
+    ops/hmc_pallas.py's `accept_select`. By default that is the plain-jnp
+    block (XLA fuses it into the leapfrog program; measured faster than the
+    Pallas kernel at bench shape, see PERF.md r4 A/B); NFTPU_FUSED_ACCEPT=1
+    swaps in the single-pass Pallas kernel.
     """
     logprob_grad_fn = jax.value_and_grad(logprob_fn)
 

@@ -10,7 +10,12 @@ VMEM-resident pass per (TILE_N, dim) chain block:
   HBM reads:  q, p, g_new, pos_old, g_old (5 x N*D), lp/h/log_u (4 x N)
   HBM writes: pos, g (2 x N*D), lp/accept_prob/accepted/d_energy (4 x N)
 
-which is the information-theoretic minimum for the op. The Metropolis math
+which is the information-theoretic minimum for the op IN ISOLATION. In situ
+it lost the A/B (see FUSED_ACCEPT below): XLA cannot fuse producers or
+consumers across a pallas_call, so the kernel forces its operands to
+materialize in HBM -- more total traffic than letting XLA fuse the three
+selects into the leapfrog program. Kept as an opt-in and as the
+reference-checked Pallas implementation. The Metropolis math
 is bit-identical to the jnp reference `_accept_select_ref` (the formulas of
 mcmc/hmc.py's kernel, reference nf/hmc.py:44-60 overflow-safe form):
 accept prob = exp(min(0, h_old - h_new)), NaN proposals rejected.
@@ -37,10 +42,15 @@ TILE_N = 1024
 # (ADVICE r3: at d=2048 a fixed 1024-row tile would need ~56 MB).
 VMEM_BUDGET = 8 * 1024 * 1024
 
-# A/B escape hatch (PERF.md fusion comparison). Read ONCE at import:
-# reading it at trace time inside callers' jits means toggling the env var
-# after a program is cached silently has no effect (ADVICE r3).
-NO_FUSED_ACCEPT = os.environ.get("NFTPU_NO_FUSED_ACCEPT") == "1"
+# The Pallas fusion is OPT-IN (NFTPU_FUSED_ACCEPT=1): a measured A/B at the
+# bench shape (8192 chains x 64 dim, L=8, r4 -- see PERF.md) put the fused
+# path at 0.942 s/1024 draws vs 0.834 s for plain XLA: the pallas_call is a
+# fusion BARRIER (its 7 operands must materialize in HBM instead of fusing
+# into the leapfrog epilogue), which costs more than the three separate
+# selects it saves. Read ONCE at import: reading env at trace time inside
+# callers' jits means toggling after a program is cached silently has no
+# effect (ADVICE r3).
+FUSED_ACCEPT = os.environ.get("NFTPU_FUSED_ACCEPT") == "1"
 
 
 def _accept_kernel(q_ref, p_ref, gnew_ref, pos_ref, gold_ref, lpnew_ref,
@@ -121,16 +131,12 @@ def accept_select(q, p, g_new, pos_old, g_old, lp_new, lp_old, h_old, log_u,
     """Fused HMC Metropolis accept + state select over a chain batch.
 
     Returns (position, log_prob, grad, accept_prob, accepted, d_energy).
-    Dispatches to the Pallas kernel on TPU f32 (or when interpret=True for
-    tests); the jnp reference everywhere else. NFTPU_NO_FUSED_ACCEPT=1
-    (read at import) forces the jnp path for A/B comparisons.
+    Default: the jnp path, which XLA fuses into the surrounding leapfrog
+    program (measured faster at bench shape -- see module docstring).
+    NFTPU_FUSED_ACCEPT=1 (read at import) or interpret=True (tests)
+    dispatches to the Pallas kernel on TPU/f32.
     """
-    if NO_FUSED_ACCEPT and not interpret:
-        return _accept_select_ref(
-            q, p, g_new, pos_old, g_old, lp_new, lp_old, h_old, log_u,
-            inv_mass_diag,
-        )
-    if (jax.default_backend() == "tpu" or interpret) \
+    if ((FUSED_ACCEPT and jax.default_backend() == "tpu") or interpret) \
             and q.dtype == jnp.float32:
         return _accept_select_pallas(
             q, p, g_new, pos_old, g_old, lp_new, lp_old, h_old, log_u,

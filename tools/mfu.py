@@ -49,7 +49,7 @@ def _cost(fn, *args):
     return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
 
 
-def slope_time(step, carry0, iters=(512, 1024), reps=4):
+def slope_time(step, carry0, iters=(512, 2048), reps=4):
     """Marginal seconds per application of `step` (carry -> carry).
 
     Sync discipline: `block_until_ready` on this relay can report buffers
@@ -57,10 +57,16 @@ def slope_time(step, carry0, iters=(512, 1024), reps=4):
     of work); only fetching actual VALUES to the host forces a true sync.
     Each timed call therefore returns a 4-byte checksum reduced from every
     float leaf of the carry, and the timer fetches it with float().
+
+    The relay's fixed dispatch cost varies by a few ms call-to-call; when
+    the two totals differ by less than that jitter the slope can come out
+    <= 0 (the r3 BENCH mfu row reported -213 us/call). Guard: retry the
+    measurement with fresh timings, and as a last resort report the
+    amortized upper bound totals[N2]/N2 -- never a negative number.
     """
     import numpy as np
 
-    totals = {}
+    runs = {}
     for it in iters:
         @jax.jit
         def run(c, s, it=it):
@@ -81,13 +87,23 @@ def slope_time(step, carry0, iters=(512, 1024), reps=4):
             return c, chk
 
         float(np.asarray(run(carry0, jnp.float32(0))[1]))  # compile + sync
+        runs[it] = run
+
+    def timed_min(it, base):
         ts = []
-        for r in range(1, reps + 1):
+        for r in range(reps):
             t0 = time.perf_counter()
-            float(np.asarray(run(carry0, jnp.float32(r))[1]))
+            float(np.asarray(runs[it](carry0, jnp.float32(base + r))[1]))
             ts.append(time.perf_counter() - t0)
-        totals[it] = min(ts)
-    return (totals[iters[1]] - totals[iters[0]]) / (iters[1] - iters[0])
+        return min(ts)
+
+    for attempt in range(3):
+        t1 = timed_min(iters[0], 1 + 10 * attempt)
+        t2 = timed_min(iters[1], 5 + 10 * attempt)
+        slope = (t2 - t1) / (iters[1] - iters[0])
+        if slope > 0:
+            return slope
+    return t2 / iters[1]  # amortized upper bound (includes dispatch cost)
 
 
 def measure(name, step, carry0, cost_fn, cost_args, iters=(512, 1024)):
