@@ -46,12 +46,35 @@ def generate(cfg, nframes=2000, chains=256, thin=2, seed=0):
         return target.log_prob(x[None])[0]
 
     draws = -(-nframes // chains)
+    # Segmented generation: the TPU worker reproducibly crashes partway
+    # through a single dispatch containing warmup + ~40 draws of the EAM
+    # target (observed r3 and r4, "TPU worker process crashed"), while the
+    # same program with <= 8 draws always completes. Run warmup + the first
+    # segment once, then continue in <= 8-draw segments from the carried
+    # final_state with the adapted step size / mass, fetching each segment
+    # to the host -- identical chains, shorter dispatches.
+    seg = 8
     res = run_hmc(
         k_run, logprob, init,
-        num_samples=draws, num_warmup=500, step_size=0.05,
+        num_samples=min(draws, seg), num_warmup=500, step_size=0.05,
         num_leapfrog=10, thin=thin,
     )
-    frames = np.asarray(res.samples).reshape(-1, init.shape[1])[:nframes]
+    parts = [np.asarray(res.samples)]
+    accepts = [float(res.accept_rate)]
+    done = min(draws, seg)
+    while done < draws:
+        res = run_hmc(
+            jax.random.fold_in(k_run, done), logprob,
+            res.final_state.position,
+            num_samples=min(draws - done, seg), num_warmup=0,
+            step_size=float(res.step_size),
+            inv_mass_diag=res.inv_mass_diag,
+            num_leapfrog=10, thin=thin,
+        )
+        parts.append(np.asarray(res.samples))
+        accepts.append(float(res.accept_rate))
+        done += min(draws - done, seg)
+    frames = np.concatenate(parts).reshape(-1, init.shape[1])[:nframes]
     # Periodic systems: HMC positions random-walk out of the box (the
     # potential is minimum-image periodic, so energies don't care) -- but
     # the flow's spline domain is [-L/2, L/2] with identity tails, and
@@ -62,7 +85,7 @@ def generate(cfg, nframes=2000, chains=256, thin=2, seed=0):
     box = getattr(target, "boxlength", None)
     if box:
         frames = frames - np.round(frames / box) * box
-    return frames, float(res.accept_rate)
+    return frames, float(np.mean(accepts))
 
 
 def main(argv=None):

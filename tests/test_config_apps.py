@@ -121,6 +121,25 @@ def test_sample_data_app(tmp_path):
     assert train.shape[1] == 96 and np.all(np.isfinite(train))
 
 
+def test_sample_data_segmented_generation(tmp_path):
+    """nframes needing > 8 draws must run the segmented path (r4: one
+    giant warmup+40-draw dispatch reproducibly crashed the TPU worker on
+    the EAM target; generation now continues in <= 8-draw segments from
+    the carried state) and still deliver the exact frame count."""
+    from normalizingflow_tpu.apps.sample_data import generate
+    from normalizingflow_tpu.config import load_config
+
+    base = yaml.safe_load(open(os.path.join(CONFIG_DIR, "Einstein.yaml")))
+    cfg_path = tmp_path / "einstein.yaml"
+    cfg_path.write_text(yaml.safe_dump(base))
+    cfg = load_config(str(cfg_path))
+    frames, acc = generate(cfg, nframes=200, chains=16, seed=3)
+    # 200 frames / 16 chains = 13 draws -> segments of 8 + 5
+    assert frames.shape == (200, 96)
+    assert np.all(np.isfinite(frames))
+    assert 0.5 < acc <= 1.0
+
+
 def test_checkpoint_restores_jax_arrays(tmp_path):
     """Restored params must be device arrays: numpy leaves break traced
     indexing in the AR inverse scan (regression from the LJ E2E run)."""
