@@ -79,6 +79,7 @@ TRANSIENT = (
     "Connection reset",
     "Connection refused",
     "Remote end closed connection",
+    "*** TIMEOUT",  # hung dispatch (r4: wedged relay, ~0 CPU) -- retryable
 )
 
 
@@ -230,12 +231,16 @@ def run_config(name, prev=None):
         step("testing", ["normalizingflow_tpu.apps.polymer", cfg, "testing"],
              parse_fe_testing)
     else:
+        # Timeouts bound hang damage (r4: one fe_diff dispatch wedged with
+        # ~0 CPU for 40+ min and had to be killed by hand): warm steps run
+        # 100-1000 s, cold compiles add ~10 min; a step that exceeds these
+        # is stuck, and the timeout converts it into a retryable failure.
         step("testing", ["normalizingflow_tpu.apps.fe", cfg, "testing"],
-             parse_fe_testing, timeout=7200)
+             parse_fe_testing, timeout=3600)
         # BAR/MBAR/Zwanzig with the reference's relaxation default
         # (test.py:98) for the particle systems.
         step("fe_diff", ["normalizingflow_tpu.apps.test", cfg],
-             parse_fe_diff, timeout=7200)
+             parse_fe_diff, timeout=1800)
     return row
 
 
