@@ -300,7 +300,11 @@ NOTES = [
     "and bar to 0.03. The free energy is therefore RIGHT; the flow is a "
     "mediocre importance proposal but BAR/MBAR/SMC are insensitive to "
     "that, exactly as the reference's own cross-estimator criterion "
-    "(test.py:61-68) intends.",
+    "(test.py:61-68) intends. Mode coverage is NOT the issue: the "
+    "symmetry-broken phase is bimodal in magnetization and the flow "
+    "samples both modes at the data's ratio (P(m>0): data 0.46, flow "
+    "0.48) with identical held-out logp in each mode (-82.8 vs -83.3) -- "
+    "the gap is diffuse fit sharpness, not a dropped mode.",
     "- **LJ held-out gap is site-hopping physics, not a training bug**: at "
     "(rho=1.28, kT=2.0, N=32) the LJ solid sits near melting -- measured "
     "per-coordinate displacement from lattice sites has std 0.32 (Lindemann "
