@@ -317,6 +317,16 @@ NOTES = [
     "identical physics; it publishes no numbers to compare. Data sanity: "
     "U/kT mean +3.1 matches the harmonic estimate (-43 lattice + ~ +48 "
     "thermal at kT=2 with the shifted r_c=1.6 potential).",
+    "- **Fe runs the analytic Finnis-Sinclair EAM form (r4)**: the "
+    "tabulated-setfl spline path reproducibly crashed the TPU worker "
+    "('kernel fault') inside long jitted HMC programs -- 6/6 failures "
+    "across accept-path variants and dispatch sizes, while the identical "
+    "program with the gather-free analytic form runs clean. "
+    "data/fe_fs.setfl is itself a tabulation of the same FS model "
+    "(tools/make_setfl.py) and tests/test_eam.py pins energy AND force "
+    "agreement between the two paths, so the campaign physics is "
+    "unchanged; the setfl loader/spline evaluator remain implemented, "
+    "CPU-tested, and re-enablable (configs/Fe_400K.yaml input_dir).",
     "- **Relaxation kernel (test.py:98 default for LJ/Fe)** is the "
     "displacement-capped damped quench of mcmc/relaxation.py -- see its "
     "docstring for why the reference's LAMMPS-NVE parameters cannot be "
