@@ -90,11 +90,20 @@ class GaussianField(Target):
         return -self.potential(x) + self.log_norm
 
     def sample(self, key, nsamples, flatten=True):
-        xi = jax.random.normal(
-            key, (int(nsamples), self.channels, self.L, self.L)
-        )
-        spectrum = jnp.fft.fft2(xi, norm="ortho")
-        w = jnp.fft.ifft2(
-            spectrum / jnp.sqrt(self.eigenvalues), norm="ortho"
-        ).real
+        # jnp.fft is UNIMPLEMENTED on the axon TPU backend (r4 campaign:
+        # "TPU backend error (Unimplemented)" from fft2). Exact GFF sampling
+        # is data generation, not a training hot path, so pin the FFT
+        # coloring to the host CPU backend; downstream consumers transfer
+        # the result wherever they need it.
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            xi = jax.random.normal(
+                jax.device_put(key, cpu),
+                (int(nsamples), self.channels, self.L, self.L),
+            )
+            spectrum = jnp.fft.fft2(xi, norm="ortho")
+            w = jnp.fft.ifft2(
+                spectrum / jax.device_put(jnp.sqrt(self.eigenvalues), cpu),
+                norm="ortho",
+            ).real
         return w.reshape(int(nsamples), -1) if flatten else w
