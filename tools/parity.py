@@ -113,6 +113,18 @@ def parse_fe_diff(out):
             for i, k in enumerate(("bar", "md", "nf", "emus"))}
 
 
+# Top-level row keys each step's parser owns. When a step FAILS on a
+# re-run, these are dropped from the row instead of silently carrying the
+# previous run's numbers forward next to an ok:false step (ADVICE r4 #3).
+OWNED_KEYS = {
+    "train": ("best_logprob", "hmc_mix_events", "hmc_mix_gate_passed",
+              "hmc_mix_acceptances"),
+    "testing": ("logp_gen", "logp_test", "ntrials", "bar_mean", "bar_std",
+                "bar", "md", "nf", "emus"),
+    "fe_diff": ("bar", "md", "nf", "emus"),
+}
+
+
 def parse_train(out):
     d = {}
     m = re.search(rf"best logprob: {FLOAT}", out)
@@ -145,7 +157,42 @@ def run_config(name, prev=None):
         raw_cfg = yaml.safe_load(fh)
     row["nparticles"] = raw_cfg["dataset"].get("nparticles")
 
-    def step(step_name, argv, parser=None, timeout=3600):
+    # Reconcile-at-startup (VERDICT r4 item 2): a campaign killed mid-round
+    # leaves successful work invisible -- r4's Polymer data+train finished
+    # AFTER the last report render, so the table said FAIL while the
+    # artifacts sat on disk. Before launching any step, re-parse its
+    # existing log/artifacts and mark it done if the evidence is there.
+    # NFTPU_PARITY_FORCE=1 disables reconciliation and re-runs everything.
+    force = os.environ.get("NFTPU_PARITY_FORCE") == "1"
+
+    def reconciled(step_name, need_keys):
+        """ok + parsed metrics from an existing step log, if conclusive."""
+        if force:
+            return None
+        log_path = os.path.join(LOGDIR, f"{name}_{step_name}.log")
+        if not os.path.exists(log_path):
+            return None
+        with open(log_path) as fh:
+            out = fh.read()
+        parser = {"train": parse_train, "testing": parse_fe_testing,
+                  "fe_diff": parse_fe_diff}.get(step_name)
+        d = parser(out) if parser else {}
+        # Success markers: each step prints its result line only on a
+        # completed run, so parsed metrics == evidence of a clean exit.
+        if all(k in d for k in need_keys):
+            return d
+        return None
+
+    def step(step_name, argv, parser=None, timeout=3600, need_keys=None):
+        if need_keys is not None:
+            d = reconciled(step_name, need_keys)
+            if d is not None:
+                print(f"[{name}] {step_name}: reconciled from existing log",
+                      flush=True)
+                row["steps"][step_name] = {"ok": True, "seconds": 0.0,
+                                           "reused": True}
+                row.update(d)
+                return True
         ok, out, dt = sh(name, step_name, argv, timeout)
         if not ok and is_transient(out):
             print(f"[{name}] {step_name}: transient failure "
@@ -157,17 +204,17 @@ def run_config(name, prev=None):
         if ok and parser:
             row.update(parser(out))
         if not ok:
+            for k in OWNED_KEYS.get(step_name, ()):
+                row.pop(k, None)
             tail = "\n".join(out.strip().splitlines()[-6:])
             row["steps"][step_name]["tail"] = tail
         return ok
 
-    # NFTPU_PARITY_SKIP_DATA=1 reuses existing dataset files instead of
-    # regenerating (campaign resumes after an interruption; sample_data is
-    # seeded, so regeneration would produce the same frames anyway).
-    skip_data = os.environ.get("NFTPU_PARITY_SKIP_DATA") == "1"
-
+    # Dataset files are reused when present (sample_data is seeded, so
+    # regeneration would produce the same frames anyway); the legacy
+    # NFTPU_PARITY_SKIP_DATA=1 is implied by default-on reconciliation.
     def have(*paths):
-        return skip_data and all(
+        return not force and all(
             p and os.path.exists(os.path.join(REPO, p)) for p in paths
         )
 
@@ -201,9 +248,13 @@ def run_config(name, prev=None):
         # Polymer + Polymer_rnvp share the same data files; generate once.
         # 10k frames: GFF surrogate sampling is exact and cheap, and small
         # datasets get memorized (see apps/sample_data.generate).
-        if not step("data",
-                    ["normalizingflow_tpu.apps.polymer", cfg, "data",
-                     "10000"]):
+        ds = raw_cfg["dataset"]
+        if have(ds.get("training_data"), ds.get("testing_data")):
+            row["steps"]["data"] = {"ok": True, "seconds": 0.0,
+                                    "reused": True}
+        elif not step("data",
+                      ["normalizingflow_tpu.apps.polymer", cfg, "data",
+                       "10000"]):
             return row
 
     # The reference's fe workflow trains WITHOUT HMC mixing (examples/
@@ -213,34 +264,40 @@ def run_config(name, prev=None):
     train_args = ["normalizingflow_tpu.apps.train", cfg]
     if name == "LJ":
         train_args.append("--hmc-mix")
-    # NFTPU_PARITY_SKIP_TRAIN=1 reuses an existing checkpoint + its train
-    # log (resume after an interruption without redoing a multi-hour train).
+    # Train reconciliation: a completed train leaves BOTH a checkpoint and
+    # a log ending in "best logprob:" -> reuse outright. A checkpoint
+    # without a conclusive log (campaign killed mid-train, the r4 Polymer
+    # case) resumes bit-exact via --resume: train_flow_fused no-ops with
+    # "Training already complete" if the .last epoch reached max_epochs,
+    # else it finishes the remaining epochs.
     ckpt = os.path.join(
         REPO, raw_cfg["output"]["model_dir"],
         f"{raw_cfg['dataset']['name']}.msgpack")
-    train_log = os.path.join(LOGDIR, f"{name}_train.log")
-    if (os.environ.get("NFTPU_PARITY_SKIP_TRAIN") == "1"
-            and os.path.exists(ckpt) and os.path.exists(train_log)):
-        row["steps"]["train"] = {"ok": True, "seconds": 0.0, "reused": True}
-        with open(train_log) as fh:
-            row.update(parse_train(fh.read()))
-    elif not step("train", train_args, parse_train, timeout=7200):
+    if (not force and os.path.exists(ckpt)
+            and os.path.exists(ckpt + ".last")
+            and reconciled("train", ("best_logprob",)) is None):
+        train_args.append("--resume")
+    if not step("train", train_args, parse_train, timeout=7200,
+                need_keys=None if force or not os.path.exists(ckpt)
+                else ("best_logprob",)):
         return row
 
     if name.startswith("Polymer"):
         step("testing", ["normalizingflow_tpu.apps.polymer", cfg, "testing"],
-             parse_fe_testing)
+             parse_fe_testing, need_keys=("logp_gen", "logp_test"))
     else:
         # Timeouts bound hang damage (r4: one fe_diff dispatch wedged with
         # ~0 CPU for 40+ min and had to be killed by hand): warm steps run
         # 100-1000 s, cold compiles add ~10 min; a step that exceeds these
         # is stuck, and the timeout converts it into a retryable failure.
         step("testing", ["normalizingflow_tpu.apps.fe", cfg, "testing"],
-             parse_fe_testing, timeout=3600)
+             parse_fe_testing, timeout=3600,
+             need_keys=("logp_gen", "logp_test"))
         # BAR/MBAR/Zwanzig with the reference's relaxation default
         # (test.py:98) for the particle systems.
         step("fe_diff", ["normalizingflow_tpu.apps.test", cfg],
-             parse_fe_diff, timeout=1800)
+             parse_fe_diff, timeout=1800,
+             need_keys=("bar", "md", "nf", "emus"))
     return row
 
 
