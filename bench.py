@@ -171,13 +171,20 @@ def neutra_ess_run(flow, target, key, tag, leapfrog=LEAPFROG, draws=DRAWS,
     # min-of-3: single-shot timings over the axon relay carry ~100 ms of
     # dispatch jitter, which at ~0.9 s/run is a 10% noise band -- exactly
     # the size of the unexplained r2->r3 "regression" (VERDICT r3 item 4).
+    # ESS is computed from the SAME run whose time is reported (ADVICE r4
+    # #5: min-of-3 time paired with the last seed's samples formally
+    # mismatched numerator and denominator; spread is ~0.2% but keep them
+    # from one run). Keep only the current-best run's draws on device.
     times = []
+    t_sample = None
     for seed in (4, 5, 6):
         t0 = time.time()
-        xs, accept_rate, chk = sample_and_push(seed, pos, params)
+        xs_i, accept_i, chk = sample_and_push(seed, pos, params)
         float(chk)
-        times.append(time.time() - t0)
-    t_sample = min(times)
+        dt = time.time() - t0
+        times.append(dt)
+        if t_sample is None or dt < t_sample:
+            t_sample, xs, accept_rate = dt, xs_i, accept_i
 
     # Headline: Stan rank-normalized bulk ESS of x and x^2 (+ tail ESS of
     # the funnel-hardest coordinate); raw ESS reported alongside.
@@ -240,13 +247,19 @@ def nuts_ess_line(flow, params, target, chains=4096, draws=256,
 
     pos = adapt.final_state.position
     float(sample_and_push(23, pos, params)[4])  # compile + sync
+    # Same one-run time/ESS pairing as neutra_ess_run (ADVICE r4 #5).
     times = []
+    t_sample = None
     for seed in (24, 25, 26):
         t0 = time.time()
-        xs, accept, depth, div, chk = sample_and_push(seed, pos, params)
+        xs_i, accept_i, depth_i, div_i, chk = sample_and_push(
+            seed, pos, params)
         float(chk)
-        times.append(time.time() - t0)
-    t_sample = min(times)
+        dt = time.time() - t0
+        times.append(dt)
+        if t_sample is None or dt < t_sample:
+            t_sample, xs, accept, depth, div = (
+                dt, xs_i, accept_i, depth_i, div_i)
 
     bulk_x = bulk_ess_per_dim(xs)
     bulk_x2 = bulk_ess_per_dim(xs * xs)

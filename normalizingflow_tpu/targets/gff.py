@@ -95,6 +95,18 @@ class GaussianField(Target):
         # is data generation, not a training hot path, so pin the FFT
         # coloring to the host CPU backend; downstream consumers transfer
         # the result wherever they need it.
+        #
+        # HOST-ONLY: this method must be called eagerly. Under a jit trace
+        # (e.g. if GaussianField were wired as a training data_source,
+        # which train/fused.py traces inside its chunk) default_device is a
+        # no-op and the fft2 would be staged for the TPU and fail -- fail
+        # loudly here instead (ADVICE r4 #1).
+        if isinstance(key, jax.core.Tracer):
+            raise RuntimeError(
+                "GaussianField.sample is host-only (CPU-pinned FFT) and "
+                "cannot be traced under jit; pre-generate fields eagerly "
+                "(apps.polymer data) and train from the dataset."
+            )
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             xi = jax.random.normal(

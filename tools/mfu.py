@@ -106,7 +106,9 @@ def slope_time(step, carry0, iters=(512, 2048), reps=4):
     return t2 / iters[1]  # amortized upper bound (includes dispatch cost)
 
 
-def measure(name, step, carry0, cost_fn, cost_args, iters=(512, 1024)):
+def measure(name, step, carry0, cost_fn, cost_args, iters=(512, 2048)):
+    # iters default matches slope_time's widened spread (ADVICE r4 #2: the
+    # (512, 2048) widening beat dispatch jitter only when callers got it).
     flops, bytes_ = _cost(cost_fn, *cost_args)
     sec = slope_time(step, carry0, iters=iters)
     tflops = flops / sec / 1e12
