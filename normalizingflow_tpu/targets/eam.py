@@ -81,10 +81,34 @@ def fs_iron_energy(pos, boxlength, params=FS_IRON):
 
 
 # ------------------------------------------------------------- setfl tables
+#
+# TPU lowering of the table lookup (VERDICT r4 item 4): the r4 campaign's
+# "kernel fault" TPU-worker crash came from this module's original lookup
+# shape -- FOUR separate 1-D gathers per spline (a[k], b[k], c[k], d[k])
+# with ~7e5-element int32 index tensors inside long scanned+vmapped+grad'd
+# HMC programs. Three interchangeable lowerings are provided so the crash
+# class can be A/B'd on hardware (tools/eam_tpu_repro.py):
+#   "take"  -- ONE stacked gather per spline: jnp.take on an (n-1, 4)
+#              coefficient matrix, mode="clip" (no OOB select logic).
+#   "split" -- the legacy 4-gathers-per-spline lowering (kept for repro).
+#   "cheb"  -- gather-free: the spline is re-fit at load time as S=64
+#              Chebyshev segments (degree 8) and evaluated by a one-hot
+#              segment-select matmul + Clenshaw recurrence -- the same
+#              dynamic-gather-to-MXU trade proven in ops/rqs_pallas.py.
+# Select via NFTPU_EAM_SPLINE_IMPL or the `impl=` arguments; the default is
+# "take" (measured safe+fastest on the axon v5e -- see configs/Fe_400K.yaml).
+import os as _os
+
+SPLINE_IMPL = _os.environ.get("NFTPU_EAM_SPLINE_IMPL", "take")
+
+CHEB_SEGMENTS = 64
+CHEB_DEGREE = 8
+
+
 def _natural_cubic_coeffs(y, h):
     """Natural cubic-spline coefficients on a uniform grid (numpy, one-time).
 
-    Returns (a, b, c, d) each of length n-1 so that on segment k
+    Returns an (n-1, 4) stacked matrix [a, b, c, d] so that on segment k
     (x in [k*h, (k+1)*h], t = x - k*h):  f = a + b t + c t^2 + d t^3.
     LAMMPS evaluates setfl tables with cubic splines; linear interpolation
     would give discontinuous forces (bad for HMC acceptance).
@@ -111,15 +135,83 @@ def _natural_cubic_coeffs(y, h):
     b = (y[1:] - y[:-1]) / h - h * (2.0 * m[:-1] + m[1:]) / 6.0
     c = m[:-1] / 2.0
     d = (m[1:] - m[:-1]) / (6.0 * h)
-    return tuple(jnp.asarray(v) for v in (a, b, c, d))
+    return jnp.asarray(np.stack([a, b, c, d], axis=1))
 
 
-def _spline_eval(coeffs, h, x):
-    """Evaluate a uniform-grid cubic spline at x (any shape); clamps ends."""
-    a, b, c, d = coeffs
-    k = jnp.clip(jnp.floor(x / h).astype(jnp.int32), 0, a.shape[0] - 1)
+def _spline_sample(coeffs, h, x):
+    """Host-side (numpy) spline evaluation, used to re-fit segments."""
+    tab = np.asarray(coeffs, dtype=np.float64)
+    k = np.clip(np.floor(x / h).astype(np.int64), 0, tab.shape[0] - 1)
+    t = x - k * h
+    a, b, c, d = tab[k].T
+    return ((d * t + c) * t + b) * t + a
+
+
+def _cheb_refit(coeffs, h, nseg=CHEB_SEGMENTS, deg=CHEB_DEGREE):
+    """Re-fit a uniform-grid cubic spline as `nseg` Chebyshev segments.
+
+    Returns (cheb_coeffs (nseg, deg+1), seg_width). Each segment spans
+    [s*w, (s+1)*w] over the spline's full domain and stores Chebyshev-basis
+    coefficients fit at Chebyshev nodes (numpy, one-time at table load).
+    """
+    n = int(np.asarray(coeffs).shape[0])
+    xmax = n * h
+    w = xmax / nseg
+    nodes = np.cos(np.pi * (np.arange(4 * (deg + 1)) + 0.5)
+                   / (4 * (deg + 1)))  # t in (-1, 1), oversampled 4x
+    out = np.zeros((nseg, deg + 1))
+    for s in range(nseg):
+        xs = (s + 0.5) * w + 0.5 * w * nodes
+        ys = _spline_sample(coeffs, h, xs)
+        out[s] = np.polynomial.chebyshev.chebfit(nodes, ys, deg)
+    return jnp.asarray(out), float(w)
+
+
+def _cheb_eval(cheb, w, x):
+    """Gather-free segmented-Chebyshev evaluation (clamped ends).
+
+    Segment coefficients are selected by a one-hot matmul (segment count is
+    small, so the one-hot rides the MXU instead of emitting the dynamic
+    gathers that faulted the TPU runtime); the polynomial itself is a
+    Clenshaw recurrence -- pure FMA, fully fusable.
+    """
+    coef, nseg = cheb, cheb.shape[0]
+    s = jnp.clip(jnp.floor(x / w).astype(jnp.int32), 0, nseg - 1)
+    onehot = (s[..., None] == jnp.arange(nseg)).astype(x.dtype)
+    c = jax.lax.dot_general(
+        onehot.reshape(-1, nseg), coef.astype(x.dtype),
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(x.shape + (coef.shape[1],))
+    t = jnp.clip(2.0 * (x / w - s.astype(x.dtype)) - 1.0, -1.0, 1.0)
+    # Clenshaw: b_k = c_k + 2 t b_{k+1} - b_{k+2}; f = c_0 + t b_1 - b_2.
+    b1 = jnp.zeros_like(x)
+    b2 = jnp.zeros_like(x)
+    for j in range(coef.shape[1] - 1, 0, -1):
+        b1, b2 = c[..., j] + 2.0 * t * b1 - b2, b1
+    return c[..., 0] + t * b1 - b2
+
+
+def _spline_eval(coeffs, h, x, impl=None):
+    """Evaluate a uniform-grid cubic spline at x (any shape); clamps ends.
+
+    `coeffs` is the (n-1, 4) stacked matrix from `_natural_cubic_coeffs`,
+    or a `(cheb_coeffs, seg_width)` pair when impl == "cheb".
+    """
+    impl = impl or SPLINE_IMPL
+    if impl == "cheb":
+        cheb, w = coeffs
+        return _cheb_eval(cheb, w, x)
+    k = jnp.clip(jnp.floor(x / h).astype(jnp.int32), 0, coeffs.shape[0] - 1)
     t = x - k.astype(x.dtype) * h
-    return ((d[k] * t + c[k]) * t + b[k]) * t + a[k]
+    if impl == "take":
+        abcd = jnp.take(coeffs, k, axis=0, mode="clip")
+        a, b, c, d = (abcd[..., j] for j in range(4))
+    elif impl == "split":
+        a, b, c, d = (coeffs[:, j][k] for j in range(4))
+    else:
+        raise ValueError(f"unknown spline impl {impl!r}")
+    return ((d * t + c) * t + b) * t + a
 
 
 def load_setfl(path):
@@ -154,33 +246,43 @@ def load_setfl(path):
     f_rho = numbers[:nrho]
     rho_r = numbers[nrho : nrho + nr]
     rphi = numbers[nrho + nr : nrho + 2 * nr]
+    f_spl = _natural_cubic_coeffs(f_rho, drho)
+    rho_spl = _natural_cubic_coeffs(rho_r, dr)
+    rphi_spl = _natural_cubic_coeffs(rphi, dr)
     return {
-        "f_spl": _natural_cubic_coeffs(f_rho, drho), "drho": drho,
-        "rho_spl": _natural_cubic_coeffs(rho_r, dr),
-        "rphi_spl": _natural_cubic_coeffs(rphi, dr), "dr": dr,
+        "f_spl": f_spl, "drho": drho,
+        "rho_spl": rho_spl,
+        "rphi_spl": rphi_spl, "dr": dr,
         "cutoff": cutoff,
+        # Gather-free segmented-Chebyshev refits for impl="cheb".
+        "f_cheb": _cheb_refit(f_spl, drho),
+        "rho_cheb": _cheb_refit(rho_spl, dr),
+        "rphi_cheb": _cheb_refit(rphi_spl, dr),
     }
 
 
-def tabulated_eam_energy(pos, boxlength, tables):
+def tabulated_eam_energy(pos, boxlength, tables, impl=None):
     """Total energy from setfl tables via cubic-spline interpolation.
 
     Replaces the reference's per-frame LAMMPS `run 0` energy extraction
     (applications/src/systems.py:49-53, 232-244) with a pure jittable
     function: smooth in positions, so jax.grad gives continuous forces.
+    `impl` picks the table-lookup lowering (see module docstring above).
     """
+    impl = impl or SPLINE_IMPL
+    suffix = "_cheb" if impl == "cheb" else "_spl"
     r, eye = _pair_distances(pos, boxlength)
     dr, drho, cutoff = tables["dr"], tables["drho"], tables["cutoff"]
     within = (r < cutoff) & ~eye
     r_safe = jnp.where(within, r, cutoff)
     # setfl stores r*phi (well-behaved at small r); divide by r after interp.
-    rphi = _spline_eval(tables["rphi_spl"], dr, r_safe)
+    rphi = _spline_eval(tables["rphi" + suffix], dr, r_safe, impl)
     phi = rphi / jnp.maximum(r_safe, dr)
-    psi = _spline_eval(tables["rho_spl"], dr, r_safe)
+    psi = _spline_eval(tables["rho" + suffix], dr, r_safe, impl)
     phi = jnp.where(within, phi, 0.0)
     psi = jnp.where(within, psi, 0.0)
     rho = jnp.sum(psi, axis=1)
-    embed = _spline_eval(tables["f_spl"], drho, rho)
+    embed = _spline_eval(tables["f" + suffix], drho, rho, impl)
     return 0.5 * jnp.sum(phi) + jnp.sum(embed)
 
 
@@ -193,27 +295,32 @@ class EAMIron(Target):
     """
 
     def __init__(self, nparticles, boxlength=None, kT=1.0, setfl_path=None,
-                 fs_params=None, pos_dir=None, data_type="xyz"):
+                 fs_params=None, pos_dir=None, data_type="xyz",
+                 spline_impl=None):
         self.n_particles = int(nparticles)
         self.point_dim = 3
         self.dim = self.n_particles * 3
         self.boxlength = None if boxlength is None else float(boxlength)
         self.kT = float(kT)
         self.tables = load_setfl(setfl_path) if setfl_path else None
+        self.spline_impl = spline_impl  # None -> module default SPLINE_IMPL
         self.fs_params = dict(fs_params or FS_IRON)
         self.dataset = (
             TrajectoryDataset(pos_dir, data_type) if pos_dir else None
         )
 
-    def _energy_single(self, flat):
+    def _energy_single(self, flat, impl=None):
         pos = flat.reshape(self.n_particles, 3)
         if self.tables is not None:
-            return tabulated_eam_energy(pos, self.boxlength, self.tables)
+            return tabulated_eam_energy(
+                pos, self.boxlength, self.tables,
+                impl=impl or self.spline_impl,
+            )
         return fs_iron_energy(pos, self.boxlength, self.fs_params)
 
-    def potential(self, x):
+    def potential(self, x, impl=None):
         x = x.reshape(-1, self.dim)
-        return jax.vmap(self._energy_single)(x)
+        return jax.vmap(lambda f: self._energy_single(f, impl))(x)
 
     def log_prob(self, x):
         return -self.potential(x) / self.kT

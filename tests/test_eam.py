@@ -40,8 +40,36 @@ def test_load_setfl_shapes():
     tables = load_setfl(SETFL)
     assert tables["cutoff"] == pytest.approx(max(FS_IRON["c"], FS_IRON["d"]))
     for name in ("f_spl", "rho_spl", "rphi_spl"):
-        a, b, c, d = tables[name]
-        assert a.shape == b.shape == c.shape == d.shape == (1999,)
+        assert tables[name].shape == (1999, 4)
+    for name in ("f_cheb", "rho_cheb", "rphi_cheb"):
+        coef, w = tables[name]
+        assert coef.shape[1] >= 4 and w > 0
+
+
+def test_spline_impls_agree():
+    """All three TPU lowerings of the table lookup (take/split/cheb) give
+    the same energies and forces to their respective numerical error."""
+    tables = load_setfl(SETFL)
+    boxlength = 3 * 2.9115
+    frames = _bcc_frames(jax.random.PRNGKey(3), n_frames=3)
+
+    def e(pos, impl):
+        return tabulated_eam_energy(pos, boxlength, tables, impl=impl)
+
+    for pos in frames:
+        e_take = float(e(pos, "take"))
+        e_split = float(e(pos, "split"))
+        e_cheb = float(e(pos, "cheb"))
+        # take/split are the same math via different gathers: exact match.
+        assert e_take == pytest.approx(e_split, abs=1e-9), (e_take, e_split)
+        # cheb is a refit of the same spline: interpolation-error match.
+        assert e_cheb == pytest.approx(e_take, abs=2e-3), (e_cheb, e_take)
+
+    pos = frames[0]
+    g_take = jax.grad(lambda p: e(p, "take"))(pos)
+    g_cheb = jax.grad(lambda p: e(p, "cheb"))(pos)
+    scale = float(jnp.max(jnp.abs(g_take)))
+    assert float(jnp.max(jnp.abs(g_take - g_cheb))) < 5e-3 * max(scale, 1.0)
 
 
 def test_tabulated_matches_analytic_energy():
