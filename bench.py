@@ -282,6 +282,149 @@ def nuts_ess_line(flow, params, target, chains=4096, draws=256,
     }
 
 
+def spline_flow_lines(dim=96, size=32, num_bins=32, hidden=354,
+                      tail_bound=6.0, chains=4096, draws=256, leapfrog=8,
+                      train_steps=2250, train_batch=1024):
+    """In-situ A/B of the Pallas RQS kernel on a spline flow (VERDICT r4
+    item 6): the reference's flagship architecture is the RQS path (7 of 11
+    configs), but the headline bench only measured RealNVP, so the kernel's
+    ~6x microbench claim (ops/rqs_pallas.py) had no end-to-end number. This
+    measures, at a physics-relevant shape (dim 96 = 32 particles x 3, the
+    LJ configuration; NSF_CL stack with cycling coordinate masks), both:
+
+      * train-steps/s (reverse KL, batch 1024) with the fused kernel on
+        vs off -- the kernel accelerates the forward; backward is the jnp
+        path either way (custom_vjp);
+      * NeuTra-HMC ESS/s with kernel on vs off, forced through the
+        chain-vmapped pullback via set_fused_rqs(min_elements=1) (the
+        custom_vmap rule collapses the chain axis into kernel rows).
+
+    The r4 accept-fusion episode showed microbench wins can invert inside
+    big fused programs (a Pallas call is an XLA fusion barrier); this line
+    settles it for the RQS kernel specifically.
+    """
+    from normalizingflow_tpu.bijectors.rqs import set_fused_rqs
+
+    target = NealsFunnel(dim)
+    flow = NormalizingFlow(
+        distributions.DiagNormal(dim),
+        bijectors.Chain([
+            bijectors.SplineCoupling(
+                size, 3, num_bins=num_bins, tail_bound=tail_bound,
+                hidden_dim=hidden, mask=(axis,))
+            for axis in (0, 1, 2)
+        ]),
+    )
+    params = flow.init(jax.random.PRNGKey(40))
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adam(optax.warmup_cosine_decay_schedule(
+            0.0, 5e-4, warmup_steps=300, decay_steps=train_steps)),
+    )
+    opt_state = optimizer.init(params)
+
+    def make_train_chunk(n_steps):
+        # Fresh jit per kernel setting: the fused dispatch is a trace-time
+        # flag, so each setting needs its own traced program.
+        @jax.jit
+        def run(params, opt_state, key, base):
+            def body(i, carry):
+                params, opt_state, _ = carry
+                k = jax.random.fold_in(key, base + i)
+                loss, grads = jax.value_and_grad(
+                    lambda p: reverse_kl(flow, p, target, k, train_batch)
+                )(params)
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state, loss
+
+            params, opt_state, loss = jax.lax.fori_loop(
+                0, n_steps, body, (params, opt_state, jnp.zeros(()))
+            )
+            return params, opt_state, loss
+
+        return run
+
+    out = {"dim": dim, "num_bins": num_bins, "layers": 3,
+           "hidden_dim": hidden, "chains": chains, "draws": draws}
+
+    # ---- train-steps/s A/B (throwaway chunks from the same init) --------
+    CHUNK = 250
+    for fused in (True, False):
+        set_fused_rqs(fused, min_elements=1 if fused else None)
+        run = make_train_chunk(CHUNK)
+        p, o, _ = run(params, opt_state, jax.random.PRNGKey(41),
+                      jnp.asarray(0))
+        jax.block_until_ready(p)           # compile + warm
+        t0 = time.time()
+        p, o, loss = run(p, o, jax.random.PRNGKey(41), jnp.asarray(CHUNK))
+        float(loss)
+        key_name = "fused" if fused else "xla"
+        out[f"train_steps_per_s_{key_name}"] = round(
+            CHUNK / (time.time() - t0), 1)
+
+    # ---- real training run (kernel on), then sampling A/B ---------------
+    set_fused_rqs(True, min_elements=1)
+    run = make_train_chunk(CHUNK)
+    loss = jnp.zeros(())
+    for c in range(train_steps // CHUNK):
+        params, opt_state, loss = run(
+            params, opt_state, jax.random.PRNGKey(42),
+            jnp.asarray(c * CHUNK))
+    out["final_kl"] = round(float(loss), 3)
+    log("spline", "train done, kl", out["final_kl"])
+
+    logprob = pullback_logprob(flow, params, target)
+    z0 = flow.prior.sample(jax.random.PRNGKey(43), chains)
+    adapt = run_hmc(
+        jax.random.PRNGKey(44), logprob, z0, num_samples=2,
+        num_warmup=WARMUP, step_size=0.5, num_leapfrog=leapfrog,
+    )
+    jax.block_until_ready(adapt.samples)
+    pos = adapt.final_state.position
+
+    for fused in (True, False):
+        set_fused_rqs(fused, min_elements=1 if fused else None)
+
+        @jax.jit
+        def sample_and_push(seed, pos, p):
+            res = run_hmc(
+                jax.random.PRNGKey(seed), pullback_logprob(flow, p, target),
+                pos, num_samples=draws, num_warmup=0,
+                step_size=float(adapt.step_size),
+                inv_mass_diag=adapt.inv_mass_diag, num_leapfrog=leapfrog,
+            )
+            x, _ = flow.inverse(p, res.samples.reshape(-1, dim))
+            return (x.reshape(res.samples.shape), res.accept_rate,
+                    jnp.sum(x[-1]))
+
+        float(sample_and_push(45, pos, params)[2])  # compile + sync
+        t_sample, xs, accept = None, None, None
+        for seed in (46, 47, 48):
+            t0 = time.time()
+            xs_i, accept_i, chk = sample_and_push(seed, pos, params)
+            float(chk)
+            dt = time.time() - t0
+            if t_sample is None or dt < t_sample:
+                t_sample, xs, accept = dt, xs_i, accept_i
+        bulk = jnp.minimum(jnp.min(bulk_ess_per_dim(xs)),
+                           jnp.min(bulk_ess_per_dim(xs * xs)))
+        key_name = "fused" if fused else "xla"
+        out[f"ess_per_s_{key_name}"] = round(float(bulk) / t_sample, 1)
+        out[f"sample_s_{key_name}"] = round(t_sample, 3)
+        out[f"accept_{key_name}"] = round(float(accept), 3)
+        log("spline", key_name, "ess/s", out[f"ess_per_s_{key_name}"],
+            "in", round(t_sample, 3), "s")
+
+    # restore defaults for any later phases
+    set_fused_rqs(True, min_elements=4096)
+    out["kernel_speedup_sampling"] = round(
+        out["sample_s_xla"] / out["sample_s_fused"], 2)
+    out["kernel_speedup_train"] = round(
+        out["train_steps_per_s_fused"] / out["train_steps_per_s_xla"], 2)
+    return out
+
+
 def mfu_fwd_logdet(flow, params):
     """BASELINE speed-of-light row via tools/mfu.py methodology."""
     from tools.mfu import PEAK_BF16_FLOPS, _cost, slope_time
@@ -337,6 +480,9 @@ def main():
     params = flow.init(jax.random.PRNGKey(0))
     mfu = mfu_fwd_logdet(flow, params)
 
+    # Spline-flow line with in-situ Pallas RQS kernel A/B (VERDICT r4 #6).
+    spline = spline_flow_lines()
+
     ess_per_s = funnel["ess_per_s"]
     print(json.dumps({
         "metric": "neutra_hmc_ess_per_s_funnel64",
@@ -352,6 +498,7 @@ def main():
             "flow_layers": LAYERS,
             "gaussian_secondary": gauss,
             "nuts_funnel": nuts,
+            "spline_flow": spline,
             **mfu,
             "device": str(jax.devices()[0]),
         },

@@ -231,9 +231,18 @@ _FUSED_ENABLED = True
 _FUSED_MIN_ELEMENTS = 4096
 
 
-def set_fused_rqs(enabled):
-    global _FUSED_ENABLED
+def set_fused_rqs(enabled, min_elements=None):
+    """Toggle the fused Pallas dispatch; optionally override the size gate.
+
+    `min_elements=1` forces the kernel even for per-element-small callers
+    (e.g. chain-vmapped HMC pullbacks, where the custom_vmap rule collapses
+    the chain axis into kernel rows but this gate sees the per-element
+    shape) -- used by bench.py's in-situ kernel A/B. Trace-time flags: jit
+    caches capture the setting, so re-jit after toggling."""
+    global _FUSED_ENABLED, _FUSED_MIN_ELEMENTS
     _FUSED_ENABLED = bool(enabled)
+    if min_elements is not None:
+        _FUSED_MIN_ELEMENTS = int(min_elements)
 
 
 def apply_rqs(inputs, w, h, d, *, inverse=False, tail_bound=None, left=None,
