@@ -285,7 +285,16 @@ def build_flow_stack(cfg: Config, b: float):
     # Deep homogeneous stacks compile as ONE scanned layer body (Repeat)
     # instead of an unrolled Chain -- compile time O(1) in depth.
     if fc.type == "RealNVP":
-        if fc.nlayers >= 4:
+        # Repeat's lax.scan carries the WHOLE stacked weight pytree (and
+        # XLA keeps stacked bf16 matmul copies of it alive across the
+        # scan), so for multi-GB stacks like Polymer_rnvp's 10x4000 at
+        # dim 2048 (~970M params) the scan costs ~2 extra GB of peak HBM
+        # -- enough to OOM the 16 GB v5e (r5 campaign). Unroll huge
+        # stacks: per-layer transients free between layers.
+        half = n // 2
+        est_params = fc.nlayers * 4 * (
+            2 * half * fc.hidden_dim + fc.hidden_dim ** 2)
+        if fc.nlayers >= 4 and est_params < 2e8:
             return Repeat(AffineCoupling(n, hidden_dim=fc.hidden_dim),
                           fc.nlayers)
         layers = [AffineCoupling(n, hidden_dim=fc.hidden_dim)

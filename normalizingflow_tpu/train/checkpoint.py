@@ -47,13 +47,34 @@ def load_checkpoint(path, template):
     Leaves come back as jax arrays (not numpy): traced indexing --
     e.g. the autoregressive inverse scan gathering per-dim weights --
     requires device arrays.
+
+    `template` may hold `jax.ShapeDtypeStruct` leaves (jax.eval_shape
+    output) instead of materialized arrays: multi-GB states (the 2048-dim
+    Polymer flows) cannot afford template AND restored copies resident on
+    a 16 GB chip at once (the r5 Polymer resume OOM). Floating leaves are
+    cast to the template's dtype, so checkpoints written under a different
+    optimizer-moment precision policy still restore.
     """
     with open(path, "rb") as fh:
         data = fh.read()
     restored = serialization.from_bytes(template, data)
     import jax.numpy as jnp
 
-    return jax.tree.map(
-        lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a,
-        restored,
-    )
+    def put(a, t=None):
+        if not isinstance(a, (np.ndarray, jnp.ndarray)):
+            return a
+        tdt = getattr(t, "dtype", None)
+        if (tdt is not None and tdt != a.dtype
+                and np.issubdtype(tdt, np.floating)
+                and np.issubdtype(a.dtype, np.floating)):
+            return jnp.asarray(a, dtype=tdt)
+        return jnp.asarray(a)
+
+    if any(isinstance(l, jax.ShapeDtypeStruct)
+           for l in jax.tree.leaves(template)):
+        # eval_shape template: structures match the saved state exactly;
+        # cast each leaf onto the template dtype (mu_dtype policy drift).
+        return jax.tree.map(put, restored, template)
+    # Partial template (e.g. params-only eval loads with None subtrees):
+    # no per-leaf dtype info; just move leaves to device.
+    return jax.tree.map(put, restored)

@@ -68,16 +68,41 @@ def train_flow_fused(flow, key, data_source, *, max_epochs=4000,
     the jitted chunk as a traced scalar, so toggling it never recompiles.
     """
     k_init, key = jax.random.split(key)
-    params = init_params if init_params is not None else flow.init(k_init)
-    optimizer = make_optimizer(learning_rate, scheduler, gamma, max_epochs)
-    opt_state = optimizer.init(params)
+    if init_params is not None:
+        param_shapes = jax.eval_shape(lambda: init_params)
+    else:
+        param_shapes = jax.eval_shape(flow.init, k_init)
+    param_bytes = sum(
+        int(np.prod(s.shape)) * s.dtype.itemsize
+        for s in jax.tree.leaves(param_shapes)
+    )
+    # Memory policy for multi-GB flows (Polymer_rnvp's 970M-param RealNVP):
+    # projected peak f32 training residency is ~ params + Adam mu + Adam nu
+    # + grads + transients ~= 4.25x param bytes; above ~14.5 GB of the
+    # v5e's 16 GB HBM, keep Adam's first moment in bf16 (nu stays f32 --
+    # it sits under a sqrt and needs the mantissa).
+    mu_dtype = jnp.bfloat16 if 4.25 * param_bytes > 14.5e9 else None
+    if mu_dtype is not None:
+        logger.info(
+            "large model (%.2f GB params): keeping Adam mu in bfloat16",
+            param_bytes / 1e9,
+        )
+    optimizer = make_optimizer(learning_rate, scheduler, gamma, max_epochs,
+                               mu_dtype=mu_dtype)
 
     start_epoch = 0
     losses = []
     best_logprob = -np.inf
     if resume_from:
-        template = {"params": params, "opt_state": opt_state, "key": key,
-                    "epoch": np.asarray(0),
+        # Shape-only template (jax.eval_shape): the restored state must be
+        # the ONLY device-resident copy -- materializing template params +
+        # opt state first put 2x the 11 GB Polymer state on a 16 GB chip
+        # (the r5 resume OOM). load_checkpoint also casts floating leaves
+        # to the template dtypes, so checkpoints written under a different
+        # mu_dtype policy still restore.
+        opt_shapes = jax.eval_shape(optimizer.init, param_shapes)
+        template = {"params": param_shapes, "opt_state": opt_shapes,
+                    "key": key, "epoch": np.asarray(0),
                     "losses": np.zeros(0, np.float32)}
         state = load_checkpoint(resume_from, template)
         params, opt_state = state["params"], state["opt_state"]
@@ -89,6 +114,9 @@ def train_flow_fused(flow, key, data_source, *, max_epochs=4000,
         if losses:
             best_logprob = max(-l for l in losses)
         logger.info("resumed from %s at epoch %d", resume_from, start_epoch)
+    else:
+        params = init_params if init_params is not None else flow.init(k_init)
+        opt_state = optimizer.init(params)
 
     traj = getattr(data_source, "traj", None)
     if traj is not None:

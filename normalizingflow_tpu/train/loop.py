@@ -14,8 +14,12 @@ import optax
 
 
 def make_optimizer(learning_rate=1e-4, scheduler="exponential", gamma=0.999,
-                   max_epochs=4000):
-    """Adam with the reference's LR schedules (setup.py:65-69)."""
+                   max_epochs=4000, mu_dtype=None):
+    """Adam with the reference's LR schedules (setup.py:65-69).
+
+    `mu_dtype=jnp.bfloat16` keeps Adam's first moment in bf16 -- the
+    memory policy train/fused.py applies to multi-GB flows (Polymer_rnvp's
+    970M-param RealNVP) whose f32 state would not fit 16 GB HBM."""
     if scheduler == "exponential":
         sched = optax.exponential_decay(
             init_value=learning_rate, transition_steps=1, decay_rate=gamma
@@ -28,4 +32,4 @@ def make_optimizer(learning_rate=1e-4, scheduler="exponential", gamma=0.999,
         sched = learning_rate
     else:
         raise ValueError(f"unknown scheduler {scheduler!r}")
-    return optax.adam(sched)
+    return optax.adam(sched, mu_dtype=mu_dtype)

@@ -80,6 +80,10 @@ TRANSIENT = (
     "Connection refused",
     "Remote end closed connection",
     "*** TIMEOUT",  # hung dispatch (r4: wedged relay, ~0 CPU) -- retryable
+    # r5: "TPU backend error (Internal)" while materializing a jit constant
+    # right after another process OOM'd the chip -- poisoned worker state,
+    # clean on retry. (ResourceExhausted is NOT here: a real OOM repeats.)
+    "TPU backend error (Internal)",
 )
 
 
