@@ -68,6 +68,12 @@ def relabel_to_sites(frames, centers, L):
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
+    if "--cpu" in argv:
+        # Diagnostic is cheap (dim-96 eval of ~500 frames) and the verdict
+        # is hundreds of nats -- run on host CPU so it never contends with
+        # a TPU campaign. Must precede any computation (CLAUDE.md).
+        argv = [a for a in argv if a != "--cpu"]
+        jax.config.update("jax_platforms", "cpu")
     cfg = load_config(argv[0] if argv else "configs/LJ.yaml")
     flow, params, potential, cfg = load_trained(cfg)
     centers = np.asarray(flow.prior.centers)  # (natoms, 3) Einstein lattice

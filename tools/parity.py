@@ -187,8 +187,13 @@ def run_config(name, prev=None):
             return d
         return None
 
+    # Once any step actually EXECUTES (data regenerated, model retrained),
+    # downstream logs describe a different artifact lineage -- stop
+    # reconciling and re-run them.
+    lineage_fresh = [False]
+
     def step(step_name, argv, parser=None, timeout=3600, need_keys=None):
-        if need_keys is not None:
+        if need_keys is not None and not lineage_fresh[0]:
             d = reconciled(step_name, need_keys)
             if d is not None:
                 print(f"[{name}] {step_name}: reconciled from existing log",
@@ -204,6 +209,7 @@ def run_config(name, prev=None):
             time.sleep(30)
             ok, out, dt2 = sh(name, step_name, argv, timeout)
             dt += dt2
+        lineage_fresh[0] = True
         row["steps"][step_name] = {"ok": ok, "seconds": round(dt, 1)}
         if ok and parser:
             row.update(parser(out))
