@@ -161,3 +161,26 @@ def test_spline_matches_known_cubic():
     # natural-spline boundary error (sin'' != 0 at x=4) dominates: O(1e-6)
     np.testing.assert_allclose(np.asarray(out), np.sin(np.asarray(xq)),
                                atol=2e-6)
+
+
+@pytest.mark.skipif(
+    os.environ.get("NFTPU_TPU_TESTS") != "1",
+    reason="on-hardware test; set NFTPU_TPU_TESTS=1 (needs the axon TPU)",
+)
+def test_tabulated_eam_inside_hmc_on_tpu():
+    """VERDICT r4 item 4: exercise tabulated_eam_energy inside a long
+    jitted HMC program ON THE TPU, the exact structure that crashed the
+    r4 worker. Runs tools/eam_tpu_repro.py's child in a subprocess (the
+    suite itself pins JAX to CPU; the child inherits the default axon
+    platform) with the production default lowering."""
+    import subprocess
+    import sys as _sys
+
+    p = subprocess.run(
+        [_sys.executable, os.path.join(REPO, "tools", "eam_tpu_repro.py"),
+         "--child", "take"],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, timeout=1800,
+    )
+    assert p.returncode == 0, p.stdout[-2000:]
+    assert '"ok": true' in p.stdout
