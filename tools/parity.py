@@ -450,8 +450,12 @@ def render(rows):
             f"{fmt('bar')} | {fmt('md')} | {fmt('nf')} | {fmt('emus')} | "
             f"{exp} | {nt} | {status} |"
         )
+    total = sum(v["seconds"] for r in rows for v in r["steps"].values())
     lines += ["", "## Analysis notes", ""] + NOTES + [
-        "", "## Step timings", ""]
+        "", "## Step timings", "",
+        f"Total recorded campaign compute: {total:.0f} s across "
+        f"{len(rows)} configs (sum of each step's most recent executed "
+        "wall-clock; steps reconciled from artifacts count 0).", ""]
     for r in rows:
         steps = ", ".join(f"{k} {v['seconds']}s" for k, v in r["steps"].items())
         lines.append(f"- **{r['config']}**: {steps}")
