@@ -17,7 +17,11 @@ from .fe_eval import fe_diff
 def load_trained(cfg, mode="testing"):
     flow, potential, cfg = setup_model(cfg, mode=mode)
     ckpt = os.path.join(cfg.output.model_dir, f"{cfg.dataset.name}.msgpack")
-    template_params = flow.init(jax.random.PRNGKey(0))
+    # Template on host CPU: it only supplies pytree structure, and a
+    # device-side init would put a second multi-GB params copy on the chip
+    # (2048-dim Polymer: 3.7 GB) plus a pointless compile over the tunnel.
+    with jax.default_device(jax.devices("cpu")[0]):
+        template_params = flow.init(jax.random.PRNGKey(0))
     state = load_checkpoint(
         ckpt,
         {"params": template_params, "opt_state": None, "key": None,
