@@ -64,9 +64,13 @@ def load_checkpoint(path, template):
         if not isinstance(a, (np.ndarray, jnp.ndarray)):
             return a
         tdt = getattr(t, "dtype", None)
+        # jnp.issubdtype, NOT np.issubdtype: bfloat16 is an ml_dtypes
+        # extension type that numpy's hierarchy calls non-floating, which
+        # silently skipped the f32->bf16 mu cast and broke the training
+        # carry (r5 Polymer resume).
         if (tdt is not None and tdt != a.dtype
-                and np.issubdtype(tdt, np.floating)
-                and np.issubdtype(a.dtype, np.floating)):
+                and jnp.issubdtype(tdt, jnp.floating)
+                and jnp.issubdtype(a.dtype, jnp.floating)):
             return jnp.asarray(a, dtype=tdt)
         return jnp.asarray(a)
 
