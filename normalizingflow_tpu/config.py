@@ -86,6 +86,10 @@ class FlowConfig:
     nsplines: int = 32
     hidden_dim: int = 100
     periodic: bool = True
+    # RealNVP log-scale soft clamp (bijectors/coupling.py AffineCoupling
+    # s_cap); None = reference-exact unbounded s. Required for deep wide
+    # stacks (Polymer_rnvp.yaml) whose training otherwise diverges.
+    s_cap: Optional[float] = None
 
 
 @dataclass
@@ -295,9 +299,12 @@ def build_flow_stack(cfg: Config, b: float):
         est_params = fc.nlayers * 4 * (
             2 * half * fc.hidden_dim + fc.hidden_dim ** 2)
         if fc.nlayers >= 4 and est_params < 2e8:
-            return Repeat(AffineCoupling(n, hidden_dim=fc.hidden_dim),
-                          fc.nlayers)
-        layers = [AffineCoupling(n, hidden_dim=fc.hidden_dim)
+            return Repeat(
+                AffineCoupling(n, hidden_dim=fc.hidden_dim,
+                               s_cap=fc.s_cap),
+                fc.nlayers)
+        layers = [AffineCoupling(n, hidden_dim=fc.hidden_dim,
+                                 s_cap=fc.s_cap)
                   for _ in range(fc.nlayers)]
     elif fc.type == "NSF_AR":
         if fc.nlayers >= 4:

@@ -221,3 +221,41 @@ def test_jit_and_grad_compatible():
     g = jax.grad(loss)(params, x)
     flat, _ = jax.tree.flatten(g)
     assert all(np.all(np.isfinite(np.asarray(a))) for a in flat)
+
+
+def test_affine_coupling_s_cap_roundtrip_and_bound():
+    """s_cap soft clamp: still an exact bijection, log-det bounded by
+    s_cap * dim, and near-identical to the unclamped layer when s is
+    small (the reference-parity regime)."""
+    key = jax.random.PRNGKey(11)
+    bij = AffineCoupling(DIM, hidden_dim=16, s_cap=2.0)
+    params = bij.init(key)
+    x = jax.random.normal(jax.random.PRNGKey(12), (7, DIM))
+    z, ld = bij.forward(params, x)
+    x2, ld_inv = bij.inverse(params, z)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld), -np.asarray(ld_inv),
+                               atol=1e-5)
+    assert np.all(np.abs(np.asarray(ld)) <= 2.0 * DIM + 1e-6)
+    # small-s regime: clamped ~= unclamped (init-scale s ~ 0.35, where
+    # 2 tanh(s/2) deviates from s by ~1.5e-3 relative -> percent-level z)
+    bij0 = AffineCoupling(DIM, hidden_dim=16)
+    z0, ld0 = bij0.forward(params, x)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z0), rtol=0.03,
+                               atol=0.03)
+
+
+def test_deep_wide_realnvp_stack_finite_with_s_cap():
+    """A 10-layer clamped stack keeps finite densities for 3-sigma data --
+    the Polymer_rnvp stability regime (r5: unclamped diverged)."""
+    from normalizingflow_tpu.bijectors import Chain
+
+    dim = 32
+    layers = [AffineCoupling(dim, hidden_dim=64, s_cap=2.0)
+              for _ in range(10)]
+    chain = Chain(layers)
+    params = chain.init(jax.random.PRNGKey(13))
+    x = 3.0 * jax.random.normal(jax.random.PRNGKey(14), (16, dim))
+    z, ld = chain.forward(params, x)
+    assert np.all(np.isfinite(np.asarray(z)))
+    assert np.all(np.abs(np.asarray(ld)) <= 10 * 2.0 * dim)
