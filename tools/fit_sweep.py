@@ -155,6 +155,12 @@ def run_variant(name, base_cfg, flow_ov, train_ov, rkl_steps):
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
+    if "--cpu" in argv:
+        # Phi4-scale variants train in ~minutes on the host CPU; running
+        # the sweep there keeps the chip free for the parity campaign.
+        # The gap question is architecture-level, not backend-level.
+        argv = [a for a in argv if a != "--cpu"]
+        jax.config.update("jax_platforms", "cpu")
     cfg_path = argv[0] if argv else "configs/Phi4.yaml"
     names = list(VARIANTS)
     if "--quick" in argv:
