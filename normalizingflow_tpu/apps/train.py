@@ -81,6 +81,31 @@ def main(argv=None):
         resume_from=resume_from,
         hmc_mixer=hmc_mixer,
     )
+    if tp.rkl_finetune_steps:
+        if hasattr(potential, "log_prob"):
+            from ..train.checkpoint import save_checkpoint
+            from ..train.objectives import rkl_finetune
+
+            params, rkl_loss = rkl_finetune(
+                flow, params, potential, tp.rkl_finetune_steps,
+                lr=tp.rkl_finetune_lr, batch=tp.rkl_finetune_batch,
+            )
+            # The tuned model becomes the checkpoint the eval CLIs load
+            # (same 5-key schema; .last keeps the forward-KL train state
+            # for bit-exact resume).
+            import numpy as _np
+
+            save_checkpoint(ckpt, {
+                "params": params, "opt_state": None, "key": None,
+                "epoch": _np.asarray(tp.max_epochs),
+                "losses": _np.asarray(history["losses"], _np.float32),
+            })
+            print(f"rkl fine-tune: {tp.rkl_finetune_steps} steps, "
+                  f"final reverse KL {rkl_loss:.3f}")
+        else:
+            print("rkl_finetune_steps set but the training target has no "
+                  "log_prob (pure dataset); fine-tune skipped",
+                  file=sys.stderr)
     print(f"best logprob: {history['best_logprob']:.3f}; checkpoint: {ckpt}")
     return 0
 

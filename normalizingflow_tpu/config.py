@@ -118,6 +118,14 @@ class TrainConfig:
     hmc_mix_step_size: float = 0.01
     hmc_mix_leapfrog: int = 10
     hmc_mix_chains: int = 8
+    # Reverse-KL fine-tune from the forward-KL fit, against the config's
+    # differentiable target density (the objective the reference defines
+    # but never uses, setup.py:90-100). Closes the held-out gap that
+    # finite-sample memorization opens: Phi4 +0.70 -> +0.04 kT/ptcl
+    # (tools/fit_sweep.py r5 table). 0 = off (reference-exact workflow).
+    rkl_finetune_steps: int = 0
+    rkl_finetune_lr: float = 1e-4
+    rkl_finetune_batch: int = 256
 
 
 @dataclass

@@ -47,3 +47,49 @@ def reverse_kl(flow, params, target, key, nsamples):
 
 def elbo(flow, params, target, key, nsamples):
     return -reverse_kl(flow, params, target, key, nsamples)
+
+
+def rkl_finetune(flow, params, target, steps, lr=1e-4, batch=256, seed=7,
+                 chunk=400):
+    """Reverse-KL fine-tune from a forward-KL fit (r5, VERDICT item 5).
+
+    Forward-KL training on a finite trajectory memorizes it (Phi4: the
+    held-out gap GROWS monotonically with epochs, tools/fit_sweep.py);
+    fine-tuning against the target DENSITY itself -- the reverseKL
+    objective the reference defines but never uses (setup.py:90-94) --
+    closes the gap (+0.70 -> +0.04 kT/ptcl) because the data can no
+    longer be memorized: every step draws fresh flow samples. Runs as
+    jitted chunks of `chunk` steps (per-dispatch latency, CLAUDE.md).
+    """
+    import jax
+    import optax
+
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adam(optax.cosine_decay_schedule(lr, max(steps, 1))),
+    )
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def run(params, opt_state, key, base, n):
+        def body(i, carry):
+            params, opt_state, _ = carry
+            k = jax.random.fold_in(key, base + i)
+            loss, grads = jax.value_and_grad(
+                lambda p: reverse_kl(flow, p, target, k, batch)
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return jax.lax.fori_loop(0, n, body,
+                                 (params, opt_state, jnp.zeros(())))
+
+    key = jax.random.PRNGKey(seed)
+    loss = jnp.zeros(())
+    done = 0
+    while done < steps:
+        n = min(chunk, steps - done)
+        params, opt_state, loss = run(
+            params, opt_state, key, jnp.asarray(done), n)
+        done += n
+    return params, float(loss)

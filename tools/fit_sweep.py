@@ -40,7 +40,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 from normalizingflow_tpu.apps.fe_eval import evaluate, generate_from_nf
 from normalizingflow_tpu.config import load_config, setup_model
 from normalizingflow_tpu.train.fused import train_flow_fused
-from normalizingflow_tpu.train.objectives import reverse_kl
+from normalizingflow_tpu.train.objectives import rkl_finetune
 
 # Each variant: (flow overrides, train overrides, rkl fine-tune steps).
 # Grid rationale: one axis per hypothesis about the gap --
@@ -69,40 +69,6 @@ def apply_overrides(cfg, flow_ov, train_ov):
     for k, mult in train_ov.items():
         tp = dataclasses.replace(tp, **{k: int(getattr(tp, k) * mult)})
     return dataclasses.replace(cfg, flow=fl, train_parameters=tp)
-
-
-def rkl_finetune(flow, params, target, steps, lr=1e-4, batch=256, seed=7):
-    """Reverse-KL fine-tune from a forward-KL fit (one jitted chunk loop)."""
-    import optax
-
-    optimizer = optax.chain(
-        optax.clip_by_global_norm(1.0),
-        optax.adam(optax.cosine_decay_schedule(lr, steps)),
-    )
-    opt_state = optimizer.init(params)
-
-    CHUNK = 400
-
-    @jax.jit
-    def run(params, opt_state, key, base):
-        def body(i, carry):
-            params, opt_state, _ = carry
-            k = jax.random.fold_in(key, base + i)
-            loss, grads = jax.value_and_grad(
-                lambda p: reverse_kl(flow, p, target, k, batch)
-            )(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
-
-        return jax.lax.fori_loop(
-            0, CHUNK, body, (params, opt_state, jnp.zeros(())))
-
-    key = jax.random.PRNGKey(seed)
-    loss = None
-    for c in range(max(steps // CHUNK, 1)):
-        params, opt_state, loss = run(
-            params, opt_state, key, jnp.asarray(c * CHUNK))
-    return params, float(loss)
 
 
 def heldout_gap(flow, params, cfg, nsamples=2000):
