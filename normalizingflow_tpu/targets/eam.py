@@ -95,8 +95,12 @@ def fs_iron_energy(pos, boxlength, params=FS_IRON):
 #              Chebyshev segments (degree 8) and evaluated by a one-hot
 #              segment-select matmul + Clenshaw recurrence -- the same
 #              dynamic-gather-to-MXU trade proven in ops/rqs_pallas.py.
-# Select via NFTPU_EAM_SPLINE_IMPL or the `impl=` arguments; the default is
-# "take" (measured safe+fastest on the axon v5e -- see configs/Fe_400K.yaml).
+# Select via NFTPU_EAM_SPLINE_IMPL or the `impl=` arguments. Measured on
+# the axon v5e inside the exact crashing HMC structure (runs/eam_repro.json):
+# "split" reproduces the r4 worker crash; "take" runs clean (19.5 s); "cheb"
+# runs clean and ~1.9x faster (10.5 s) but is a refit (abs energy error
+# <= 2e-3 eV on 54-atom frames). Default "take": bit-exact cubic-spline
+# table math at ample speed; switch to "cheb" when lookup speed dominates.
 import os as _os
 
 SPLINE_IMPL = _os.environ.get("NFTPU_EAM_SPLINE_IMPL", "take")

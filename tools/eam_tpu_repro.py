@@ -25,6 +25,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 SETFL = os.path.join(REPO, "data", "fe_fs.setfl")
 OUT = os.path.join(REPO, "runs", "eam_repro.json")
 

@@ -66,7 +66,7 @@ def sh(name, step, argv, timeout=3600):
     return code == 0, out, dt
 
 
-FLOAT = r"(-?[\d.]+(?:e-?\d+)?)"
+FLOAT = r"(-?[\d.]+(?:e[+-]?\d+)?)"  # e+34 counts too (r5 diverged run)
 
 # Failure signatures that warrant ONE retry (VERDICT r3 item 7): the
 # observed single-event TPU worker crash and tunnel/transport errors are
@@ -384,16 +384,21 @@ NOTES = [
     "identical physics; it publishes no numbers to compare. Data sanity: "
     "U/kT mean +3.1 matches the harmonic estimate (-43 lattice + ~ +48 "
     "thermal at kT=2 with the shifted r_c=1.6 potential).",
-    "- **Fe runs the analytic Finnis-Sinclair EAM form (r4)**: the "
-    "tabulated-setfl spline path reproducibly crashed the TPU worker "
-    "('kernel fault') inside long jitted HMC programs -- 6/6 failures "
-    "across accept-path variants and dispatch sizes, while the identical "
-    "program with the gather-free analytic form runs clean. "
-    "data/fe_fs.setfl is itself a tabulation of the same FS model "
-    "(tools/make_setfl.py) and tests/test_eam.py pins energy AND force "
-    "agreement between the two paths, so the campaign physics is "
-    "unchanged; the setfl loader/spline evaluator remain implemented, "
-    "CPU-tested, and re-enablable (configs/Fe_400K.yaml input_dir).",
+    "- **Fe_400K runs the tabulated setfl EAM on-chip (r5)**: the r4 "
+    "'kernel fault' was root-caused to the table-lookup LOWERING, not the "
+    "table: four separate 1-D gathers per spline ('split') reproducibly "
+    "crash the TPU worker inside warmup+HMC programs, while one stacked "
+    "mode=clip gather ('take', now the default) and a gather-free "
+    "segmented-Chebyshev one-hot path ('cheb', ~1.9x faster, refit "
+    "error <= 2e-3 eV) both run clean -- controlled A/B in "
+    "tools/eam_tpu_repro.py, runs/eam_repro.json (take 19.5 s / split "
+    "CRASH / cheb 10.5 s, identical acceptance 0.794 and energies). "
+    "configs/Fe_400K.yaml input_dir now feeds data/fe_fs.setfl (the "
+    "reference's potential-file workflow, systems.py:232-244); "
+    "tests/test_eam.py pins table-vs-analytic energy+force agreement and "
+    "an NFTPU_TPU_TESTS=1 test exercises the table inside HMC on "
+    "hardware. Fe_100K/Fe_700K keep the numerically-identical analytic "
+    "form.",
     "- **Relaxation kernel (test.py:98 default for LJ/Fe)** is the "
     "displacement-capped damped quench of mcmc/relaxation.py -- see its "
     "docstring for why the reference's LAMMPS-NVE parameters cannot be "
