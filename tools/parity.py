@@ -84,6 +84,9 @@ TRANSIENT = (
     # right after another process OOM'd the chip -- poisoned worker state,
     # clean on retry. (ResourceExhausted is NOT here: a real OOM repeats.)
     "TPU backend error (Internal)",
+    # r5: remote-compile relay dropped mid-response ("response body closed
+    # before all bytes were read") -- tunnel transport flake.
+    "remote_compile",
 )
 
 
