@@ -481,7 +481,16 @@ def main():
     mfu = mfu_fwd_logdet(flow, params)
 
     # Spline-flow line with in-situ Pallas RQS kernel A/B (VERDICT r4 #6).
-    spline = spline_flow_lines()
+    # Never let this auxiliary line kill the headline metric: degrade to an
+    # error field on failure.
+    try:
+        spline = spline_flow_lines()
+    except Exception as e:  # noqa: BLE001
+        log("spline line failed:", repr(e))
+        spline = {"error": repr(e)[:300]}
+        from normalizingflow_tpu.bijectors.rqs import set_fused_rqs
+
+        set_fused_rqs(True, min_elements=4096)
 
     ess_per_s = funnel["ess_per_s"]
     print(json.dumps({
