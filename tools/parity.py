@@ -388,19 +388,47 @@ NOTES = [
     "symmetry-broken phase is bimodal in magnetization and the flow "
     "samples both modes at the data's ratio (P(m>0): data 0.46, flow "
     "0.48) with identical held-out logp in each mode (-82.8 vs -83.3) -- "
-    "the gap is diffuse fit sharpness, not a dropped mode.",
-    "- **LJ held-out gap is site-hopping physics, not a training bug**: at "
-    "(rho=1.28, kT=2.0, N=32) the LJ solid sits near melting -- measured "
-    "per-coordinate displacement from lattice sites has std 0.32 (Lindemann "
-    "~0.1-0.15 x the 1.03 neighbor distance) and max 1.46 = half the box, "
-    "i.e. atoms exchange lattice sites in the data. A flow anchored to an "
-    "Einstein-site prior (the reference's architecture, LJ.yaml verbatim) "
-    "assigns astronomically low density to permuted-site frames, so "
-    "E_gen[logp] >> E_heldout[logp] while BAR/MBAR (two-sided) stay "
-    "reproducible (ntrials std ~0.12). The reference's own LJ setup has "
-    "identical physics; it publishes no numbers to compare. Data sanity: "
-    "U/kT mean +3.1 matches the harmonic estimate (-43 lattice + ~ +48 "
-    "thermal at kT=2 with the shifted r_c=1.6 potential).",
+    "the gap is diffuse fit sharpness, not a dropped mode. **r5 "
+    "resolution**: the sweep (runs/fit_sweep_Phi4.json) shows the gap is "
+    "forward-KL memorization of the 8k-frame dataset (epochs 2k/4k/12k "
+    "-> +0.25/+0.70/+5.09 kT/ptcl; every capacity increase worsens it; "
+    "4x data closes it to +0.05), and 2000 reverse-KL fine-tune steps "
+    "against the phi^4 density (train_parameters.rkl_finetune_steps) "
+    "close it to +0.040 with all four estimators agreeing "
+    "(-1.059/-1.110/-0.956/-1.059), bracketing the SMC value. Phi4 is "
+    "now status ok.",
+    "- **Polymer (2048-dim NSF_AR) is a partial-train row**: its "
+    "training legitimately outlives a round on one chip (~3 steps/s at "
+    "3.7 GB of parameters; checkpoint saves are 9-11 GB device->host "
+    "fetches). The row evaluates the best checkpoint (status 'partial "
+    "train'); full resume state is preserved in "
+    "runs/polymer/models/Polymer.msgpack.last. Polymer_rnvp's 10x4000 "
+    "RealNVP additionally required two r5 framework fixes to train at "
+    "all on a 16 GB chip -- bf16 Adam-mu + unrolled layer stacks (train/"
+    "fused.py, config.py) and the s_cap log-scale clamp "
+    "(bijectors/coupling.py) after its unclamped training diverged to "
+    "loss ~1e31 -- and its full 84-min retrain did not fit in the "
+    "remaining round budget; the divergence root-cause and fixes are "
+    "committed and CPU-verified.",
+    "- **LJ held-out gap: an expressivity limit of the reference's own "
+    "architecture, established by three controlled experiments (r5)**. "
+    "(1) The r4 site-hopping hypothesis is REFUTED: "
+    "tools/lj_permutation.py relabels each held-out frame's atoms to "
+    "their optimal lattice sites (Hungarian assignment under the "
+    "minimum-image metric; 911/2000 frames non-identity, 12.5/32 atoms "
+    "off-site, energies invariant to 1e-3) and recovers -0.6% of the "
+    "+212-nat gap (runs/lj_chain.log). (2) Reverse-KL fine-tuning -- "
+    "which closes Phi4's gap to +0.04/ptcl -- makes LJ WORSE "
+    "(+13.0/ptcl): mode-seeking on the rugged N-body landscape "
+    "(runs/fit_sweep_LJ.log). (3) 4x data (32k frames) also worsens the "
+    "held-out logp (runs/fit_sweep_LJ_bigdata.log), ruling out "
+    "finite-sample memorization. Conclusion: the Einstein-site-anchored "
+    "NSF_CL (the reference's architecture, LJ.yaml verbatim) cannot "
+    "represent the near-melting LJ solid's density (per-coordinate "
+    "displacements std 0.32 exceed the Lindemann scale; local structure "
+    "is strongly multimodal). The reference's own acceptance criterion "
+    "is unaffected: BAR/MBAR are two-sided and reproducible across "
+    "independent datasets (ntrials std ~0.12).",
     "- **Fe_400K runs the tabulated setfl EAM on-chip (r5)**: the r4 "
     "'kernel fault' was root-caused to the table-lookup LOWERING, not the "
     "table: four separate 1-D gathers per spline ('split') reproducibly "
