@@ -295,9 +295,11 @@ def spline_flow_lines(dim=96, size=32, num_bins=32, hidden=354,
       * train-steps/s (reverse KL, batch 1024) with the fused kernel on
         vs off -- the kernel accelerates the forward; backward is the jnp
         path either way (custom_vjp);
-      * NeuTra-HMC ESS/s with kernel on vs off, forced through the
-        chain-vmapped pullback via set_fused_rqs(min_elements=1) (the
-        custom_vmap rule collapses the chain axis into kernel rows).
+      * NeuTra-HMC ESS/s with kernel on vs off on the kernel's designed
+        surface -- the flat chains*draws latent->data push (the vmapped
+        leapfrog interior keeps the jnp path in BOTH settings: forcing
+        the kernel through per-chain vmap faults the TPU runtime, see
+        the lowering note at the sampling loop).
 
     The r4 accept-fusion episode showed microbench wins can invert inside
     big fused programs (a Pallas call is an XLA fusion barrier); this line
@@ -351,7 +353,7 @@ def spline_flow_lines(dim=96, size=32, num_bins=32, hidden=354,
     # ---- train-steps/s A/B (throwaway chunks from the same init) --------
     CHUNK = 250
     for fused in (True, False):
-        set_fused_rqs(fused, min_elements=1 if fused else None)
+        set_fused_rqs(fused, min_elements=4096)
         run = make_train_chunk(CHUNK)
         p, o, _ = run(params, opt_state, jax.random.PRNGKey(41),
                       jnp.asarray(0))
@@ -364,7 +366,7 @@ def spline_flow_lines(dim=96, size=32, num_bins=32, hidden=354,
             CHUNK / (time.time() - t0), 1)
 
     # ---- real training run (kernel on), then sampling A/B ---------------
-    set_fused_rqs(True, min_elements=1)
+    set_fused_rqs(True, min_elements=4096)
     run = make_train_chunk(CHUNK)
     loss = jnp.zeros(())
     for c in range(train_steps // CHUNK):
@@ -383,8 +385,15 @@ def spline_flow_lines(dim=96, size=32, num_bins=32, hidden=354,
     jax.block_until_ready(adapt.samples)
     pos = adapt.final_state.position
 
+    # Sampling A/B scope: the kernel stays on its designed surface -- large
+    # FLAT batches (the latent->data push of chains*draws rows, and
+    # training above). Forcing it through the chain-vmapped leapfrog via
+    # min_elements=1 faults the TPU runtime (r5: 'UNAVAILABLE: kernel
+    # fault'), the same lowering-hostility class as the EAM 'split' gather
+    # (tools/eam_tpu_repro.py) -- so inside HMC both settings run the jnp
+    # path and the A/B isolates the kernel's effect on the push.
     for fused in (True, False):
-        set_fused_rqs(fused, min_elements=1 if fused else None)
+        set_fused_rqs(fused, min_elements=4096)
 
         @jax.jit
         def sample_and_push(seed, pos, p):
