@@ -366,7 +366,7 @@ def spline_flow_lines(dim=96, size=32, num_bins=32, hidden=354,
             CHUNK / (time.time() - t0), 1)
 
     # ---- real training run (kernel on), then sampling A/B ---------------
-    set_fused_rqs(True, min_elements=4096)
+    set_fused_rqs(True, min_elements=131072)  # library default
     run = make_train_chunk(CHUNK)
     loss = jnp.zeros(())
     for c in range(train_steps // CHUNK):
@@ -399,7 +399,7 @@ def spline_flow_lines(dim=96, size=32, num_bins=32, hidden=354,
             "spline pullback inside chain-vmapped HMC faults the TPU "
             "runtime (jnp path too; same class as EAM split-gather); "
             "train A/B numbers above are unaffected")
-        set_fused_rqs(True, min_elements=4096)
+        set_fused_rqs(True, min_elements=131072)  # library default
         out["kernel_speedup_train"] = round(
             out["train_steps_per_s_fused"]
             / out["train_steps_per_s_xla"], 2)
@@ -447,7 +447,7 @@ def spline_flow_lines(dim=96, size=32, num_bins=32, hidden=354,
             "in", round(t_sample, 3), "s")
 
     # restore defaults for any later phases
-    set_fused_rqs(True, min_elements=4096)
+    set_fused_rqs(True, min_elements=131072)  # library default
     out["kernel_speedup_sampling"] = round(
         out["sample_s_xla"] / out["sample_s_fused"], 2)
     out["kernel_speedup_train"] = round(
@@ -520,7 +520,7 @@ def main():
         spline = {"error": repr(e)[:300]}
         from normalizingflow_tpu.bijectors.rqs import set_fused_rqs
 
-        set_fused_rqs(True, min_elements=4096)
+        set_fused_rqs(True, min_elements=131072)  # library default
 
     ess_per_s = funnel["ess_per_s"]
     print(json.dumps({

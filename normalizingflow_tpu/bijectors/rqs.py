@@ -224,11 +224,20 @@ def unconstrained_rqs(
 
 # ---------------------------------------------------------------------------
 # Accelerated dispatch: on TPU, large spline evaluations route to the fused
-# Pallas kernel (ops/rqs_pallas.py, ~6x faster than the XLA lowering of this
-# file); small/CPU calls and all gradients use the jnp path above. Toggle
-# with `set_fused_rqs`.
+# Pallas kernel (ops/rqs_pallas.py; ~6x faster than the XLA lowering of
+# this file in isolated microbenches). Small/CPU calls and all gradients
+# use the jnp path above. Toggle with `set_fused_rqs`.
+#
+# Gate calibration (r5, BENCH spline_flow A/B): in situ, inside a fused
+# train step at physics shape (batch 1024 x 64 transformed scalars), the
+# kernel is a 0.95x SLOWDOWN -- the custom_vjp backward is the jnp path
+# either way and the pallas_call is an XLA fusion barrier, so the
+# microbench win inverts exactly like the r3 accept-fusion episode. The
+# gate therefore engages only at inference-scale flat batches (>= 128k
+# elements, e.g. the chains*draws latent->data push), where the fused
+# VMEM pipeline's HBM savings dominate.
 _FUSED_ENABLED = True
-_FUSED_MIN_ELEMENTS = 4096
+_FUSED_MIN_ELEMENTS = 131072
 
 
 def set_fused_rqs(enabled, min_elements=None):
