@@ -35,13 +35,20 @@ class AffineCoupling(Bijector):
     per step, so exp(s) overflows f32 long before the prior term can push
     back; observed r5, loss ~1e31). Near-identity for |s| << s_cap, so
     shallow configs are numerically unaffected even when enabled.
+
+    `zero_init` starts every conditioner's output layer at zero, making
+    the whole layer the identity map at init (Glow practice; see
+    mlp.mlp_init) -- with torch-default init the 2048-dim 10-layer stack
+    overflows f32 before training can correct it. Default False =
+    reference-exact init.
     """
 
-    def __init__(self, dim, hidden_dim=800, s_cap=None):
+    def __init__(self, dim, hidden_dim=800, s_cap=None, zero_init=False):
         self.dim = int(dim)
         self.half = self.dim // 2
         self.hidden_dim = int(hidden_dim)
         self.s_cap = None if s_cap is None else float(s_cap)
+        self.zero_init = bool(zero_init)
 
     def _s(self, raw):
         if self.s_cap is None:
@@ -52,11 +59,12 @@ class AffineCoupling(Bijector):
         ks = jax.random.split(key, 4)
         h = self.half
         other = self.dim - self.half
+        z = self.zero_init
         return {
-            "t1": mlp_init(ks[0], h, other, self.hidden_dim),
-            "s1": mlp_init(ks[1], h, other, self.hidden_dim),
-            "t2": mlp_init(ks[2], other, h, self.hidden_dim),
-            "s2": mlp_init(ks[3], other, h, self.hidden_dim),
+            "t1": mlp_init(ks[0], h, other, self.hidden_dim, zero_last=z),
+            "s1": mlp_init(ks[1], h, other, self.hidden_dim, zero_last=z),
+            "t2": mlp_init(ks[2], other, h, self.hidden_dim, zero_last=z),
+            "s2": mlp_init(ks[3], other, h, self.hidden_dim, zero_last=z),
         }
 
     def forward(self, params, x):

@@ -90,6 +90,9 @@ class FlowConfig:
     # s_cap); None = reference-exact unbounded s. Required for deep wide
     # stacks (Polymer_rnvp.yaml) whose training otherwise diverges.
     s_cap: Optional[float] = None
+    # Glow-style identity init (zero output layers) for RealNVP
+    # conditioners; deep wide stacks also need this (see coupling.py).
+    zero_init: bool = False
 
 
 @dataclass
@@ -309,10 +312,10 @@ def build_flow_stack(cfg: Config, b: float):
         if fc.nlayers >= 4 and est_params < 2e8:
             return Repeat(
                 AffineCoupling(n, hidden_dim=fc.hidden_dim,
-                               s_cap=fc.s_cap),
+                               s_cap=fc.s_cap, zero_init=fc.zero_init),
                 fc.nlayers)
         layers = [AffineCoupling(n, hidden_dim=fc.hidden_dim,
-                                 s_cap=fc.s_cap)
+                                 s_cap=fc.s_cap, zero_init=fc.zero_init)
                   for _ in range(fc.nlayers)]
     elif fc.type == "NSF_AR":
         if fc.nlayers >= 4:
