@@ -376,12 +376,22 @@ def spline_flow_lines(dim=96, size=32, num_bins=32, hidden=354,
     out["final_kl"] = round(float(loss), 3)
     log("spline", "train done, kl", out["final_kl"])
 
-    logprob = pullback_logprob(flow, params, target)
+    # Chain-BATCHED pullback (mcmc/hmc.py hmc_kernel_chainbatched): the
+    # per-chain vmapped pullback faults the TPU runtime (kernel off too --
+    # the jnp RQS gathers under vmap x scan x grad hit the EAM
+    # split-gather lowering-fault class, PERF.md r5). Batching the chain
+    # axis through the flow both fixes that and lets the batch-gated RQS
+    # kernel engage INSIDE leapfrog (4096 x 64 rows >= the 128k gate), so
+    # the sampling A/B below is a true in-leapfrog kernel on/off.
+    from normalizingflow_tpu.mcmc.neutra import pullback_logprob_batched
+
+    logprob = pullback_logprob_batched(flow, params, target)
     z0 = flow.prior.sample(jax.random.PRNGKey(43), chains)
     try:
         adapt = run_hmc(
             jax.random.PRNGKey(44), logprob, z0, num_samples=2,
             num_warmup=WARMUP, step_size=0.5, num_leapfrog=leapfrog,
+            batched_target=True,
         )
         jax.block_until_ready(adapt.samples)
     except Exception as e:  # noqa: BLE001
@@ -406,23 +416,22 @@ def spline_flow_lines(dim=96, size=32, num_bins=32, hidden=354,
         return out
     pos = adapt.final_state.position
 
-    # Sampling A/B scope: the kernel stays on its designed surface -- large
-    # FLAT batches (the latent->data push of chains*draws rows, and
-    # training above). Forcing it through the chain-vmapped leapfrog via
-    # min_elements=1 faults the TPU runtime (r5: 'UNAVAILABLE: kernel
-    # fault'), the same lowering-hostility class as the EAM 'split' gather
-    # (tools/eam_tpu_repro.py) -- so inside HMC both settings run the jnp
-    # path and the A/B isolates the kernel's effect on the push.
+    # Sampling A/B: with the chain-batched pullback, the flow sees flat
+    # (chains, n_trans) batches inside every leapfrog step, so fused=True
+    # runs the Pallas RQS kernel in the hot loop and fused=False runs the
+    # XLA lowering -- a genuine in-leapfrog kernel on/off.
     for fused in (True, False):
         set_fused_rqs(fused, min_elements=4096)
 
         @jax.jit
         def sample_and_push(seed, pos, p):
             res = run_hmc(
-                jax.random.PRNGKey(seed), pullback_logprob(flow, p, target),
+                jax.random.PRNGKey(seed),
+                pullback_logprob_batched(flow, p, target),
                 pos, num_samples=draws, num_warmup=0,
                 step_size=float(adapt.step_size),
                 inv_mass_diag=adapt.inv_mass_diag, num_leapfrog=leapfrog,
+                batched_target=True,
             )
             x, _ = flow.inverse(p, res.samples.reshape(-1, dim))
             return (x.reshape(res.samples.shape), res.accept_rate,

@@ -190,6 +190,79 @@ def hmc_kernel_batched(logprob_fn, step_size, num_leapfrog, inv_mass_diag,
     return kernel
 
 
+def _batched_lp_grad(logprob_batch_fn):
+    """(chains, dim) -> ((chains,), (chains, dim)) value-and-grad.
+
+    Per-chain log-probs decouple under a sum, so grad of the sum gives
+    each chain's own gradient in ONE evaluation of the batched target."""
+
+    def f(x):
+        lps = logprob_batch_fn(x)
+        return jnp.sum(lps), lps
+
+    vg = jax.value_and_grad(f, has_aux=True)
+
+    def lp_grad(x):
+        (_, lps), g = vg(x)
+        return lps, g
+
+    return lp_grad
+
+
+def hmc_kernel_chainbatched(logprob_batch_fn, step_size, num_leapfrog,
+                            inv_mass_diag, step_jitter=0.2):
+    """One HMC transition where the TARGET sees the whole chain batch.
+
+    `logprob_batch_fn` maps (chains, dim) -> (chains,). Randomness is
+    drawn per chain exactly as in `hmc_kernel_batched` (same key splits,
+    same stream), but leapfrog runs on the full (chains, dim) arrays with
+    ONE batched target evaluation per step instead of a per-chain vmap.
+
+    Why this exists (r5): flow-pullback targets evaluated per-chain under
+    vmap x scan x grad fault the TPU runtime (the RQS bin-search gathers
+    hit the same lowering-fault class as the EAM split-gather crash,
+    PERF.md r5), and batch-size-gated accelerators (the Pallas RQS
+    kernel) can never engage on a per-element view. Batching the chain
+    axis through the target fixes both: spline flows already evaluate
+    batches as flat rows.
+    """
+    lp_grad = _batched_lp_grad(logprob_batch_fn)
+
+    from ..ops.hmc_pallas import accept_select
+
+    def kernel(keys, state):
+        def draws(key, q):
+            # identical split order / shapes to hmc_kernel_batched's
+            # propose, so the two kernels consume the same random stream
+            k_mom, k_acc, k_eps = jax.random.split(key, 3)
+            eps = step_size * (
+                1.0 + step_jitter * jax.random.uniform(
+                    k_eps, (), q.dtype, -1.0, 1.0
+                )
+            )
+            sqrt_mass = jnp.sqrt(1.0 / inv_mass_diag)
+            mom = sqrt_mass * jax.random.normal(k_mom, q.shape, q.dtype)
+            log_u = jnp.log(jax.random.uniform(k_acc, (), q.dtype))
+            return eps, mom, log_u
+
+        eps, momentum, log_u = jax.vmap(draws)(keys, state.position)
+        q, p, lp_new, g_new = leapfrog(
+            lp_grad, state.position, momentum, state.grad,
+            eps[:, None], num_leapfrog, inv_mass_diag,
+        )
+        h_old = -state.log_prob + 0.5 * jnp.sum(
+            inv_mass_diag * momentum * momentum, axis=-1
+        )
+        pos, lp, g, accept_prob, accepted, d_energy = accept_select(
+            q, p, g_new, state.position, state.grad, lp_new,
+            state.log_prob, h_old, log_u, inv_mass_diag,
+        )
+        return (HMCState(pos, lp, g),
+                HMCInfo(accept_prob, accepted, d_energy))
+
+    return kernel
+
+
 def padded_length(length, chunk=128):
     """Trip count chunked_scan actually runs: length rounded up to chunk.
 
@@ -262,25 +335,38 @@ class HMCResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "logprob_fn", "num_samples", "num_warmup", "num_leapfrog",
-        "target_accept", "thin", "step_jitter",
+        "target_accept", "thin", "step_jitter", "batched_target",
     ),
 )
 def run_hmc(key, logprob_fn, init_position, num_samples, num_warmup=500,
             step_size=0.1, num_leapfrog=10, target_accept=0.8, thin=1,
-            inv_mass_diag=None, step_jitter=0.2):
+            inv_mass_diag=None, step_jitter=0.2, batched_target=False):
     """Full HMC run: warmup (adaptation) + sampling, one XLA program.
 
     init_position: (chains, dim). Returns HMCResult with samples of shape
     (num_samples, chains, dim).
+
+    `batched_target=True` declares that `logprob_fn` maps the whole
+    (chains, dim) batch to (chains,) log-probs in one call (see
+    hmc_kernel_chainbatched) -- required for flow-pullback targets on
+    TPU and for batch-gated accelerated ops to engage inside leapfrog.
     """
     chains, dim = init_position.shape
     dtype = init_position.dtype
     if inv_mass_diag is None:
         inv_mass_diag = jnp.ones(dim, dtype)
 
-    state = jax.vmap(lambda q: hmc_init(logprob_fn, q))(init_position)
+    if batched_target:
+        lp0, g0 = _batched_lp_grad(logprob_fn)(init_position)
+        state = HMCState(init_position, lp0, g0)
+    else:
+        state = jax.vmap(lambda q: hmc_init(logprob_fn, q))(init_position)
 
     def make_kernel(eps, inv_mass):
+        if batched_target:
+            return hmc_kernel_chainbatched(
+                logprob_fn, eps, num_leapfrog, inv_mass,
+                step_jitter=step_jitter)
         return hmc_kernel_batched(logprob_fn, eps, num_leapfrog, inv_mass,
                                   step_jitter=step_jitter)
 

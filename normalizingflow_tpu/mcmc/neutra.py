@@ -35,6 +35,22 @@ def pullback_logprob(flow, params, target):
     return logprob
 
 
+def pullback_logprob_batched(flow, params, target):
+    """Chain-batched pullback: (chains, dim) -> (chains,) in ONE flow call.
+
+    Use with `run_hmc(..., batched_target=True)`. Required for spline-flow
+    pullbacks on TPU: per-chain evaluation under vmap x scan x grad faults
+    the runtime (PERF.md r5), and the flow's batch-gated accelerated ops
+    (ops/rqs_pallas.py) can only engage on flat batches.
+    """
+
+    def logprob(z):
+        x, log_det = flow.inverse(params, z)
+        return target.log_prob(x) + log_det
+
+    return logprob
+
+
 class NeutraResult(NamedTuple):
     samples_x: jnp.ndarray     # (num_samples, chains, dim) data space
     samples_z: jnp.ndarray     # latent space

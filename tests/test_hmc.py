@@ -146,3 +146,49 @@ def test_chunked_scan_rejects_bad_leading_dim():
     xs = jnp.arange(200.0)  # length says 300, padded would be 384
     with pytest.raises(ValueError, match="leading dim"):
         chunked_scan(f, jnp.zeros(()), xs, length=300, chunk=128)
+
+
+def test_chain_batched_kernel_matches_vmapped():
+    """run_hmc(batched_target=True) consumes the SAME random stream and
+    produces the same chains as the per-chain vmapped kernel (r5: the
+    batched path exists so flow pullbacks evaluate flat chain batches)."""
+    variances = jnp.array([0.25, 1.0, 4.0, 9.0])
+    lp_single = lambda x: -0.5 * jnp.sum(x * x / variances)
+    lp_batch = lambda X: -0.5 * jnp.sum(X * X / variances, axis=-1)
+    init = jax.random.normal(jax.random.PRNGKey(0), (16, 4))
+    a = run_hmc(jax.random.PRNGKey(1), lp_single, init, num_samples=100,
+                num_warmup=150, step_size=0.3, num_leapfrog=6)
+    b = run_hmc(jax.random.PRNGKey(1), lp_batch, init, num_samples=100,
+                num_warmup=150, step_size=0.3, num_leapfrog=6,
+                batched_target=True)
+    np.testing.assert_allclose(np.asarray(a.samples), np.asarray(b.samples),
+                               atol=1e-8)
+    assert abs(float(a.accept_rate) - float(b.accept_rate)) < 1e-12
+    assert abs(float(a.step_size) - float(b.step_size)) < 1e-12
+
+
+def test_chain_batched_spline_pullback_smoke():
+    """NeuTra with an NSF_CL pullback through the chain-batched kernel:
+    the configuration that faults the TPU runtime under per-chain vmap
+    (PERF.md r5) runs through the batched path."""
+    from normalizingflow_tpu import NormalizingFlow, bijectors, distributions
+    from normalizingflow_tpu.mcmc.neutra import pullback_logprob_batched
+    from normalizingflow_tpu.targets import NealsFunnel
+
+    dim = 12
+    flow = NormalizingFlow(
+        distributions.DiagNormal(dim),
+        bijectors.Chain([
+            bijectors.SplineCoupling(4, 3, num_bins=8, tail_bound=6.0,
+                                     hidden_dim=16, mask=(a,))
+            for a in (0, 1)
+        ]),
+    )
+    params = flow.init(jax.random.PRNGKey(2))
+    logprob = pullback_logprob_batched(flow, params, NealsFunnel(dim))
+    init = flow.prior.sample(jax.random.PRNGKey(3), 24)
+    res = run_hmc(jax.random.PRNGKey(4), logprob, init, num_samples=50,
+                  num_warmup=100, step_size=0.3, num_leapfrog=4,
+                  batched_target=True)
+    assert np.all(np.isfinite(np.asarray(res.samples)))
+    assert 0.2 < float(res.accept_rate) <= 1.0
