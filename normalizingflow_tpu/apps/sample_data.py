@@ -42,8 +42,14 @@ def generate(cfg, nframes=2000, chains=256, thin=2, seed=0):
     k_init, k_run = jax.random.split(key)
     init = prior.sample(k_init, chains)
 
+    # Chain-batched target (r5): the potentials evaluate (chains, dim)
+    # batches natively, and the batched kernel avoids the per-chain
+    # vmap x scan x grad gather lowering that faulted the TPU runtime on
+    # tabulated-EAM (tools/eam_tpu_repro.py). PRNG streams are identical
+    # to the vmapped kernel (tests/test_hmc.py), so regenerated datasets
+    # are bit-for-bit the same.
     def logprob(x):
-        return target.log_prob(x[None])[0]
+        return target.log_prob(x)
 
     draws = -(-nframes // chains)
     # Segmented generation: the TPU worker reproducibly crashes partway
@@ -57,7 +63,7 @@ def generate(cfg, nframes=2000, chains=256, thin=2, seed=0):
     res = run_hmc(
         k_run, logprob, init,
         num_samples=min(draws, seg), num_warmup=500, step_size=0.05,
-        num_leapfrog=10, thin=thin,
+        num_leapfrog=10, thin=thin, batched_target=True,
     )
     parts = [np.asarray(res.samples)]
     accepts = [float(res.accept_rate)]
@@ -69,7 +75,7 @@ def generate(cfg, nframes=2000, chains=256, thin=2, seed=0):
             num_samples=min(draws - done, seg), num_warmup=0,
             step_size=float(res.step_size),
             inv_mass_diag=res.inv_mass_diag,
-            num_leapfrog=10, thin=thin,
+            num_leapfrog=10, thin=thin, batched_target=True,
         )
         parts.append(np.asarray(res.samples))
         accepts.append(float(res.accept_rate))
